@@ -1,0 +1,180 @@
+"""Top-level HMM coupler: one SPMD program for the FE + MD time loop.
+
+Functional port of HMMProblem (dealammps.cc:101-537).  Where the reference
+splits MPI_COMM_WORLD into FE and MD communicators and broadcasts
+ScaleBridgingData between them (dealammps.cc:344-415), here FE and MD phases
+are sequential device-wide computations inside one jitted step; the
+"communication" is array indexing in HBM.
+
+The per-timestep sequence (do_timestep, dealammps.cc:418-474; the Newton
+loop runs exactly once):
+
+    begin_step  -> solve -> [clustering dedup] -> md_update -> check -> end_step
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HMMConfig
+from ..fem import shapes
+from ..fem import fe_problem as FE
+from ..fem import assembly
+from ..fem.problem_types import make_problem, Problem
+from ..fem.state import FEState, init_qp_state, init_history, init_fe_state
+from ..bridging import bridge
+from ..utils import tensors as T
+
+
+class StepOutputs(NamedTuple):
+    residual0: jax.Array  # rhs norm before the stress update
+    residual1: jax.Array  # rhs norm after the stress update
+    n_flagged: jax.Array  # number of qps flagged for MD
+    n_jobs: jax.Array  # number of qps actually running MD (after dedup)
+    reaction_force: jax.Array  # loaded-boundary reaction (output_lbc_force)
+
+
+# An md_update_fn maps (eps_cg (n_qp,6), material (n_qp,), jobs_mask (n_qp,),
+# most_recent_id (n_qp,)) -> dense update_stress_cg (n_qp, 6).  Rows where
+# jobs_mask is False are ignored by apply_stress_update's gather.
+MDUpdateFn = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+@dataclass(frozen=True)
+class HMMProblem:
+    cfg: HMMConfig
+    problem: Problem
+    geom: shapes.FEGeometry
+    ops: FE.FEOps
+    ensemble: bridge.ReplicaEnsemble
+    md_update_fn: MDUpdateFn
+    dtype: object
+
+    def init_state(self) -> FEState:
+        cfg = self.cfg
+        n_qp = self.geom.n_qp_total
+        mat = assign_materials(cfg, self.geom, self.dtype)
+        stiff_cg, rho = bridge.average_replica_data(self.ensemble)
+        qp = init_qp_state(n_qp, mat, rho, stiff_cg, dtype=self.dtype)
+        capacity = cfg.time.end_timestep - cfg.time.start_timestep + 2
+        hist = init_history(n_qp, capacity, dtype=self.dtype)
+        return init_fe_state(
+            self.geom.n_nodes, qp, hist, cfg.time.start_timestep, dtype=self.dtype
+        )
+
+    def step(self, state: FEState) -> tuple[FEState, StepOutputs]:
+        """One macro timestep (jittable)."""
+        ops = self.ops
+        state = FE.begin_step(ops, state)
+        state, out = FE.solve(ops, state)
+
+        id_to_get = state.hist.id_to_get_results_from
+        jobs = bridge.job_mask(out.flags, id_to_get)
+
+        if ops.stress_method == 0:
+            update_stress_cg = self.md_update_fn(
+                out.update_strain_cg, out.material, jobs, out.most_recent_id
+            )
+        else:
+            update_stress_cg = jnp.zeros_like(out.update_strain_cg)
+
+        state, res1 = FE.apply_stress_update(
+            ops, state, out.flags, update_stress_cg, id_to_get
+        )
+        rf = assembly.reaction_force(
+            self.geom, state.qp.new_stress, state.qp.rho,
+            self.problem.loaded_mask.astype(state.u.dtype) > 0,
+        )
+        state = FE.end_step(ops, state)
+        return state, StepOutputs(
+            residual0=out.residual,
+            residual1=res1,
+            n_flagged=jnp.sum(out.flags),
+            n_jobs=jnp.sum(jobs),
+            reaction_force=rf,
+        )
+
+    def run(self, state: FEState, n_steps: int) -> tuple[FEState, StepOutputs]:
+        """Run n_steps with lax.scan (stacked outputs)."""
+
+        def body(s, _):
+            s, o = self.step(s)
+            return s, o
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def assign_materials(cfg: HMMConfig, geom: shapes.FEGeometry, dtype) -> jax.Array:
+    """Random per-cell material from proportions, repeated per qp.
+
+    reference: CellData::generate_nanostructure_uniform (FE.h:177-210) with
+    mt19937(time(0)) on rank 0 + MPI_Bcast (FE_problem.h:265-272); here a
+    fixed-seed jax PRNG so runs are reproducible.
+    """
+    props = jnp.asarray(cfg.material.proportions, dtype=jnp.float64)
+    if abs(float(props.sum()) - 1.0) > 1e-4:
+        raise ValueError("Material proportions must sum to 1")  # FE.h:185-189
+    key = jax.random.PRNGKey(cfg.seed)
+    r = jax.random.uniform(key, (geom.n_cells,))
+    cum = jnp.cumsum(props)
+    cell_mat = jnp.sum(r[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
+    return jnp.repeat(cell_mat, geom.n_qp_per_cell)
+
+
+def build_hooke_hmm(
+    cfg: HMMConfig,
+    ensemble: bridge.ReplicaEnsemble | None = None,
+    device_mesh=None,
+) -> HMMProblem:
+    """Assemble an HMMProblem with the Hooke's-law fake-MD backend.
+
+    This is the reference's "approximate md with hookes law" debug mode —
+    the full orchestration path with sigma = C:eps as the kernel.
+    If ``device_mesh`` is given, the MD/bridging phase is shard_mapped over
+    its "md" axis (parallel/mesh_utils.py).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    problem = make_problem(cfg, dtype)
+    n_gauss = cfg.mesh.quadrature_formula
+    geom = shapes.precompute_geometry(
+        problem.mesh.nodes, problem.mesh.cells, n_gauss, dtype=dtype
+    )
+    if ensemble is None:
+        stiff = T.isotropic_c66(3.0e9, 0.35, dtype=dtype)
+        ensemble = bridge.uniform_ensemble(
+            len(cfg.material.materials), cfg.material.number_of_replicas, stiff, 1200.0, dtype
+        )
+
+    def md_update_fn(eps_cg, material, jobs, most_recent_id):
+        upd = bridge.hooke_update_stress(ensemble, eps_cg, material)
+        return jnp.where(jobs[:, None], upd, 0.0)
+
+    if device_mesh is not None:
+        from ..parallel.mesh_utils import shard_md_update
+
+        md_update_fn = shard_md_update(md_update_fn, device_mesh)
+
+    mat = assign_materials(cfg, geom, dtype)
+    stiff_cg, rho = bridge.average_replica_data(ensemble)
+    qp = init_qp_state(geom.n_qp_total, mat, rho, stiff_cg, dtype=dtype)
+    ops = FE.make_ops(
+        geom,
+        problem,
+        qp,
+        cfg.time.timestep_length,
+        cfg.bridging.stress_method,
+        cfg.bridging.approx_md_with_hookes_law,
+        cfg.precision.min_quadrature_strain_norm,
+    )
+    return HMMProblem(
+        cfg=cfg,
+        problem=problem,
+        geom=geom,
+        ops=ops,
+        ensemble=ensemble,
+        md_update_fn=md_update_fn,
+        dtype=dtype,
+    )

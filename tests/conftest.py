@@ -1,0 +1,20 @@
+"""Test configuration: run on CPU with 8 virtual devices and float64.
+
+Multi-device sharding tests run on a virtual CPU mesh
+(xla_force_host_platform_device_count), replacing the reference's
+"multi-rank MPI without a cluster" testing mode (SURVEY.md section 4).
+
+NOTE: the session environment pins JAX_PLATFORMS=axon (remote TPU tunnel)
+and pre-imports jax via sitecustomize, so env vars are too late — the
+platform must be overridden through jax.config before first backend use.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,55 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scema_tpu.parallel.mesh_utils import make_mesh, shard_md_update, pad_to_multiple
+from scema_tpu.config import HMMConfig
+from scema_tpu.hmm.problem import build_hooke_hmm
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_to_multiple():
+    x = jnp.arange(10)
+    p, n = pad_to_multiple(x, 8)
+    assert p.shape[0] == 16 and n == 10
+
+
+def test_sharded_step_matches_single_device():
+    cfg = HMMConfig()
+    cfg = cfg.replace(
+        mesh=cfg.mesh.__class__(x_cells=2, y_cells=2, z_cells=3),
+        bridging=cfg.bridging.__class__(stress_method=0, approx_md_with_hookes_law=True),
+        time=cfg.time.__class__(timestep_length=5.0e-7, start_timestep=1, end_timestep=10),
+    )
+    mesh = make_mesh(8)
+    hmm_sharded = build_hooke_hmm(cfg, device_mesh=mesh)
+    hmm_single = build_hooke_hmm(cfg)
+
+    s0 = hmm_sharded.init_state()
+    s1 = hmm_single.init_state()
+    step0 = jax.jit(hmm_sharded.step)
+    step1 = jax.jit(hmm_single.step)
+    for _ in range(4):
+        s0, o0 = step0(s0)
+        s1, o1 = step1(s1)
+    sig0 = np.asarray(s0.qp.new_stress)
+    sig1 = np.asarray(s1.qp.new_stress)
+    assert np.allclose(sig0, sig1, atol=1e-9 * max(np.abs(sig1).max(), 1.0))
+    assert int(o0.n_jobs) == int(o1.n_jobs)
+
+
+def test_graft_entry_and_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out_state, out = jax.jit(fn)(*args)
+    jax.block_until_ready(out_state)
+    ge.dryrun_multichip(8)
