@@ -60,22 +60,26 @@ def cmd_run(args) -> int:
     state = hmm.init_state()
     step = jax.jit(hmm.step)
 
+    def fe_of(s):
+        return s[0] if isinstance(s, tuple) else s
+
     t_total = time.perf_counter()
     for k in range(n_steps):
         t0 = time.perf_counter()
         state, out = step(state)
         jax.block_until_ready(state)
         wall = time.perf_counter() - t0
-        ts = int(state.timestep)
+        fe = fe_of(state)
+        ts = int(fe.timestep)
         print(
-            f"Timestep {ts} at time {float(state.time):.6g}  "
+            f"Timestep {ts} at time {float(fe.time):.6g}  "
             f"residual {float(out.residual0):.6g} -> {float(out.residual1):.6g}  "
             f"flagged qps {int(out.n_flagged)}  md jobs {int(out.n_jobs)}  "
             f"reaction {float(out.reaction_force):.6g}  ({wall:.3f}s)"
         )
     import numpy as np
 
-    u = np.asarray(state.u).reshape(-1, 3)
+    u = np.asarray(fe_of(state).u).reshape(-1, 3)
     print(f"Max displacement: {np.abs(u).max():.6g} m")
     print(f"Total wall time: {time.perf_counter() - t_total:.2f}s for {n_steps} steps")
     return 0

@@ -1,0 +1,67 @@
+"""Greedy max-degree graph reduction -> qp dedup mapping.
+
+The reference shells out to networkx
+(clustering/coarsegrain_dependency_network.py:59-90, invoked via system()
+at FE_problem.h:1248-1262) to repeatedly take the highest-degree node of
+the similarity graph, map the node and all its neighbours to it, delete
+them, and emit mapping.csv.  Here the same algorithm runs either on device
+(a lax.while_loop over the adjacency matrix — the graph is per-qp-count
+sized, tiny next to the MD work) or on host (numpy, bit-identical).
+
+Tie-breaking: lowest node id among max-degree nodes (deterministic; the
+reference's dict-iteration order is glob-order-dependent).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def reduce_graph(adj: jax.Array) -> jax.Array:
+    """(n, n) bool adjacency -> (n,) int32 mapping (qp -> source qp).
+
+    Nodes outside the graph (no edges) map to themselves.
+    """
+    n = adj.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(carry):
+        mapping, active = carry
+        return jnp.any(active)
+
+    def body(carry):
+        mapping, active = carry
+        live = adj & active[:, None] & active[None, :]
+        deg = jnp.sum(live, axis=1)
+        # pick the max-degree active node; argmax takes the lowest id on ties
+        score = jnp.where(active, deg, -1)
+        node = jnp.argmax(score).astype(jnp.int32)
+        neigh = live[node]
+        mapping = jnp.where(neigh, node, mapping)
+        removed = neigh | (ids == node)
+        return mapping, active & ~removed
+
+    # active nodes = nodes that appear in at least one edge
+    active0 = jnp.any(adj, axis=1)
+    mapping0 = ids
+    mapping, _ = jax.lax.while_loop(cond, body, (mapping0, active0))
+    return mapping
+
+
+def reduce_graph_host(adj: np.ndarray) -> np.ndarray:
+    """Host (numpy) twin of reduce_graph, for testing against networkx."""
+    n = adj.shape[0]
+    adj = adj.copy()
+    mapping = np.arange(n, dtype=np.int32)
+    active = adj.any(axis=1)
+    while active.any():
+        live = adj & active[:, None] & active[None, :]
+        deg = live.sum(axis=1)
+        score = np.where(active, deg, -1)
+        node = int(np.argmax(score))
+        neigh = live[node]
+        mapping[neigh] = node
+        active &= ~neigh
+        active[node] = False
+    return mapping

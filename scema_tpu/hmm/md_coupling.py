@@ -1,0 +1,305 @@
+"""Full HMM with the real on-device MD backend at the quadrature points.
+
+This is the north-star path (BASELINE.json): the reference's
+STMDSync::update fleet step (stmd_sync.h:1070-1132) as one batched device
+computation — job packing, per-(qp x replica) strain-driven MD with
+persistent microstates, virial-stress homogenization, init-stress
+subtraction, replica averaging, and scatter-back into the FE stress field.
+
+Persistent microstates: the reference's per-qp LAMMPS restart files
+(``last.<qpid>.<mat>_<r>.dump``, stmd_problem.h:114-273) become a stacked
+MDState pytree [n_qp, n_repl, ...] in HBM.  The ``most_recent_qp_id``
+branching rule (a qp deduplicated onto another inherits that source's
+microstate when it first runs its own MD, stmd_problem.h:114-138) becomes a
+gather over the qp axis.
+
+Job dispatch: a fixed-capacity job list (config 'maximum md jobs', default
+all qps) filled via masked nonzero — the static-shape replacement for the
+reference's dynamic MPI batch scheduler (set_md_procs, stmd_sync.h:189-278).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HMMConfig
+from ..bridging import bridge
+from ..fem import shapes
+from ..fem import fe_problem as FE
+from ..fem.problem_types import make_problem
+from ..fem.state import init_qp_state
+from ..md import engine as E
+from ..md import material as M
+from ..md.homogenization import MDParams, strain_and_homogenize
+from ..utils import tensors as T
+from .problem import HMMProblem, assign_materials
+
+
+class MicroStates(NamedTuple):
+    """Persistent per-(qp, replica) MD microstates."""
+
+    pos: jax.Array  # (n_qp, n_repl, N, 3)
+    vel: jax.Array
+    h: jax.Array  # (n_qp, n_repl, 3, 3)
+    vxi: jax.Array  # (n_qp, n_repl, NHC_LEN)
+    has_run: jax.Array  # (n_qp,) bool — last.<qpid>.dump exists
+
+
+def broadcast_micro(state: E.MDState, n_qp: int, n_repl: int) -> MicroStates:
+    def bc(x):
+        return jnp.broadcast_to(x, (n_qp, n_repl) + x.shape)
+
+    return MicroStates(
+        pos=bc(state.pos), vel=bc(state.vel), h=bc(state.h), vxi=bc(state.vxi),
+        has_run=jnp.zeros((n_qp,), dtype=bool),
+    )
+
+
+@dataclass(frozen=True)
+class MDBackend:
+    """Static MD-side configuration for the coupling."""
+
+    sys: E.MDSystem
+    params: MDParams
+    ensemble: bridge.ReplicaEnsemble
+    n_repl: int
+    max_jobs: int  # static job-list capacity
+    initial_md_state: E.MDState = None  # the equilibrated replica microstate
+
+    def make_update_fn(self):
+        """Returns (update_fn, init_micro_carry_handling) for HMMProblem.
+
+        update_fn(micro, eps_cg, material, jobs, most_recent_id)
+            -> (micro', update_stress_cg)
+        """
+
+        def update_fn(micro: MicroStates, eps_cg, material, jobs, most_recent_id):
+            n_qp = eps_cg.shape[0]
+            K = self.max_jobs
+
+            # -- job packing (write_md_updates_list + prepare_md_simulations)
+            job_idx = jnp.nonzero(jobs, size=K, fill_value=0)[0]
+            slot_valid = jnp.arange(K) < jnp.sum(jobs)
+
+            # microstate source: own if it has run, else borrowed from
+            # most_recent provider if that ran, else the fresh initial state
+            mri = most_recent_id[job_idx]
+            mri_ok = (mri < n_qp) & micro.has_run[jnp.clip(mri, 0, n_qp - 1)]
+            src = jnp.where(
+                micro.has_run[job_idx],
+                job_idx,
+                jnp.where(mri_ok, jnp.clip(mri, 0, n_qp - 1), job_idx),
+            )
+            # a qp that never ran and has no valid provider starts fresh —
+            # index job_idx then rows where has_run[src] is False hold the
+            # broadcast initial state anyway (micro starts all-initial).
+
+            jpos = micro.pos[src]  # (K, n_repl, N, 3)
+            jvel = micro.vel[src]
+            jh = micro.h[src]
+            jvxi = micro.vxi[src]
+
+            # -- strain to replica frames and length variation
+            eps_job = eps_cg[job_idx]  # (K, 6)
+            mat_job = material[job_idx]
+            eps_rep = bridge.replica_strains(self.ensemble, eps_job, mat_job)
+            dlength = bridge.strain_to_length_variation(
+                self.ensemble, eps_rep, mat_job
+            )  # (K, n_repl, 6)
+
+            # -- batched MD (execute_inside_md_simulations)
+            md_dtype = micro.pos.dtype
+
+            def one(pos, vel, h, vxi, dl):
+                st = E.MDState(pos=pos, vel=vel, h=h, vxi=vxi)
+                st, stress = strain_and_homogenize(
+                    self.sys, st, dl.astype(md_dtype), self.params
+                )
+                return st.pos, st.vel, st.h, st.vxi, stress
+
+            run = jax.vmap(jax.vmap(one))
+            npos, nvel, nh, nvxi, sigma_rep = run(jpos, jvel, jh, jvxi, dlength)
+            sigma_rep = sigma_rep.astype(eps_cg.dtype)
+
+            # -- replica averaging with init-stress subtraction
+            upd = bridge.average_replica_stresses(
+                self.ensemble, sigma_rep, mat_job, subtract_init_stress=True
+            )  # (K, 6)
+
+            # -- scatter back: stresses dense over qps, microstates updated
+            update_stress_cg = jnp.zeros((n_qp, 6), dtype=eps_cg.dtype)
+            update_stress_cg = update_stress_cg.at[job_idx].set(
+                jnp.where(slot_valid[:, None], upd, update_stress_cg[job_idx])
+            )
+
+            def scat(old, new):
+                return old.at[job_idx].set(
+                    jnp.where(
+                        slot_valid.reshape((K,) + (1,) * (new.ndim - 1)),
+                        new,
+                        old[job_idx],
+                    )
+                )
+
+            micro = MicroStates(
+                pos=scat(micro.pos, npos),
+                vel=scat(micro.vel, nvel),
+                h=scat(micro.h, nh),
+                vxi=scat(micro.vxi, nvxi),
+                has_run=micro.has_run | jobs,
+            )
+            return micro, update_stress_cg
+
+        return update_fn
+
+
+@dataclass(frozen=True)
+class MDHMMProblem:
+    """HMM coupled to the real MD backend; state = (FEState, MicroStates)."""
+
+    base: HMMProblem
+    backend: MDBackend
+
+    @property
+    def geom(self):
+        return self.base.geom
+
+    @property
+    def cfg(self):
+        return self.base.cfg
+
+    def init_state(self):
+        fe = self.base.init_state()
+        sys_state = self._fresh_micro()
+        return fe, sys_state
+
+    def _fresh_micro(self) -> MicroStates:
+        st = self.backend.initial_md_state
+        return broadcast_micro(st, self.geom.n_qp_total, self.backend.n_repl)
+
+    def step(self, carry):
+        fe_state, micro = carry
+        ops = self.base.ops
+        fe_state = FE.begin_step(ops, fe_state)
+        fe_state, out = FE.solve(ops, fe_state)
+
+        from .problem import clustering_mapping
+
+        p = self.cfg.precision
+        id_to_get = clustering_mapping(
+            fe_state, out.flags, p.clustering_min_steps, p.spline_points,
+            p.clustering_diff_threshold,
+        )
+        fe_state = fe_state._replace(
+            hist=fe_state.hist._replace(id_to_get_results_from=id_to_get)
+        )
+        jobs = bridge.job_mask(out.flags, id_to_get)
+
+        update_fn = self.backend.make_update_fn()
+        micro, update_stress_cg = update_fn(
+            micro, out.update_strain_cg, out.material, jobs, out.most_recent_id
+        )
+
+        fe_state, res1 = FE.apply_stress_update(
+            ops, fe_state, out.flags, update_stress_cg, id_to_get
+        )
+        from ..fem import assembly
+
+        rf = assembly.reaction_force(
+            self.geom, fe_state.qp.new_stress, fe_state.qp.rho,
+            self.base.problem.loaded_mask.astype(fe_state.u.dtype) > 0,
+        )
+        fe_state = FE.end_step(ops, fe_state)
+        from .problem import StepOutputs
+
+        return (fe_state, micro), StepOutputs(
+            residual0=out.residual,
+            residual1=res1,
+            n_flagged=jnp.sum(out.flags),
+            n_jobs=jnp.sum(jobs),
+            reaction_force=rf,
+        )
+
+
+def build_md_hmm(
+    cfg: HMMConfig,
+    spec: M.MaterialSpec | None = None,
+    equil_steps: int = 100,
+    minimize_steps: int = 100,
+) -> MDHMMProblem:
+    """Assemble the full MD-coupled HMM from a reference-format config.
+
+    Runs material initialization (equilibrate + measure) on device first —
+    the reference requires a separate ``init_material`` run producing
+    nanoscale_input files (dealammps.cc:507 ordering constraint); here it
+    is one call.
+    """
+    import numpy as np
+
+    dtype = jnp.dtype(cfg.dtype)
+    md_dtype = jnp.dtype(cfg.md_dtype)
+    if len(cfg.material.materials) != 1:
+        raise NotImplementedError("MD backend currently supports one material")
+    n_repl = cfg.material.number_of_replicas
+
+    if spec is None:
+        spec = M.MaterialSpec(name=cfg.material.materials[0])
+
+    params = MDParams(
+        temperature=cfg.md.temperature,
+        dt=cfg.md.timestep_length,
+        strain_rate=cfg.md.strain_rate,
+        nsteps_sample=cfg.md.nsteps_sample,
+    )
+
+    # material initialization (init_material equivalent)
+    sys, st0 = M.build_system(spec, dtype=md_dtype)
+    key = jax.random.PRNGKey(cfg.seed)
+    st0 = M.equilibrate(sys, st0, params, key,
+                        minimize_steps=minimize_steps, equil_steps=equil_steps)
+    data = M.measure(sys, st0, params)
+
+    # replica ensemble: identical replicas (distinct thermal seeds arrive
+    # with multi-replica initialization in a later milestone)
+    ens = bridge.ReplicaEnsemble(
+        rotam=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (1, n_repl, 3, 3)),
+        init_length=jnp.broadcast_to(
+            jnp.asarray(data.length, dtype=dtype), (1, n_repl, 3)
+        ),
+        init_stress=jnp.broadcast_to(
+            jnp.asarray(data.stress, dtype=dtype), (1, n_repl, 6)
+        ),
+        init_stiff=jnp.broadcast_to(
+            jnp.asarray(data.stiff, dtype=dtype), (1, n_repl, 6, 6)
+        ),
+        rho=jnp.full((1, n_repl), data.density, dtype=dtype),
+    )
+
+    problem = make_problem(cfg, dtype)
+    geom = shapes.precompute_geometry(
+        problem.mesh.nodes, problem.mesh.cells, cfg.mesh.quadrature_formula, dtype=dtype
+    )
+    mat = assign_materials(cfg, geom, dtype)
+    stiff_cg, rho = bridge.average_replica_data(ens)
+    qp = init_qp_state(geom.n_qp_total, mat, rho, stiff_cg, dtype=dtype)
+    ops = FE.make_ops(
+        geom, problem, qp,
+        cfg.time.timestep_length,
+        cfg.bridging.stress_method,
+        False,
+        cfg.precision.min_quadrature_strain_norm,
+    )
+    base = HMMProblem(
+        cfg=cfg, problem=problem, geom=geom, ops=ops, ensemble=ens,
+        md_update_fn=None, dtype=dtype,
+    )
+    max_jobs = cfg.resources.max_md_jobs or geom.n_qp_total
+    backend = MDBackend(
+        sys=sys, params=params, ensemble=ens, n_repl=n_repl,
+        max_jobs=min(max_jobs, geom.n_qp_total),
+        initial_md_state=st0,
+    )
+    return MDHMMProblem(base=base, backend=backend)

@@ -29,6 +29,32 @@ from ..bridging import bridge
 from ..utils import tensors as T
 
 
+def clustering_mapping(state, flags, min_steps: int, n_points: int, threshold: float):
+    """Strain-history similarity dedup: which qp sources each qp's stress.
+
+    The reference's history_analysis pipeline (FE_problem.h:1166-1291):
+    splinify flagged histories, ring-compare L2 distances, reduce the
+    similarity graph, read back mapping.csv.  Active only after
+    ``min steps`` timesteps (FE_problem.h:1277).  Returns the dense
+    id_to_get_results_from vector.
+    """
+    from ..clustering.spline import splinify_histories
+    from ..clustering.similarity import similarity_adjacency
+    from ..clustering.reduction import reduce_graph
+
+    n_qp = flags.shape[0]
+    identity = jnp.arange(n_qp, dtype=jnp.int32)
+
+    def run(_):
+        splines = splinify_histories(state.hist.buffer, state.hist.count, n_points)
+        adj = similarity_adjacency(splines, flags, threshold)
+        return reduce_graph(adj)
+
+    return jax.lax.cond(
+        state.timestep > min_steps, run, lambda _: identity, operand=None
+    )
+
+
 class StepOutputs(NamedTuple):
     residual0: jax.Array  # rhs norm before the stress update
     residual1: jax.Array  # rhs norm after the stress update
@@ -71,7 +97,14 @@ class HMMProblem:
         state = FE.begin_step(ops, state)
         state, out = FE.solve(ops, state)
 
-        id_to_get = state.hist.id_to_get_results_from
+        p = self.cfg.precision
+        id_to_get = clustering_mapping(
+            state, out.flags, p.clustering_min_steps, p.spline_points,
+            p.clustering_diff_threshold,
+        )
+        state = state._replace(
+            hist=state.hist._replace(id_to_get_results_from=id_to_get)
+        )
         jobs = bridge.job_mask(out.flags, id_to_get)
 
         if ops.stress_method == 0:

@@ -1,0 +1,303 @@
+"""The batched on-device MD engine: velocity Verlet + Nose-Hoover chains,
+fix-deform strain driving, virial pressure sampling.
+
+This replaces the LAMMPS instances the reference spawns per quadrature
+point (stmd_problem.h:83-383): instance #1 = ``run_strain`` (NVT with
+``fix deform ... erate`` box deformation, in.strain.lammps), instance #2 =
+``sample_stress`` (NVT with time-averaged virial pressure,
+ELASTIC/in.homogenization.lammps).  All functions are pure and vmap/jit
+friendly; the bridging layer vmaps them over (jobs x replicas).
+
+Forces and the potential virial come from automatic differentiation of the
+force field's energy — one backward pass yields both (the strain-derivative
+definition of the virial is exact for any functional form, including SW
+three-body terms).
+
+Thermostat: Nose-Hoover chain (M=3, MTK), the on-device equivalent of
+``fix nvt temp T T 100.0`` (in.strain.lammps) with Tdamp in time units.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import box as B
+from . import neighbor as NB
+from .units import UnitSystem, REAL
+
+NHC_LEN = 3  # thermostat chain length (LAMMPS default tchain=3)
+
+
+class MDState(NamedTuple):
+    pos: jax.Array  # (N, 3)
+    vel: jax.Array  # (N, 3)
+    h: jax.Array  # (3, 3) upper-triangular box
+    vxi: jax.Array  # (NHC_LEN,) thermostat velocities
+
+
+@dataclass(frozen=True)
+class MDSystem:
+    """Static MD configuration (shapes + force field + units)."""
+
+    ff: object  # force field with .energy(pos, h, nbr)
+    masses: jax.Array  # (N,) atomic masses
+    nspec: NB.NeighborSpec
+    units: UnitSystem = REAL
+    rebuild_every: int = 10  # neighbor-list reuse (neigh_modify analog)
+    tdamp: float = 100.0  # thermostat damping, time units (fix nvt ... 100.0)
+
+    @property
+    def n_atoms(self) -> int:
+        return int(self.masses.shape[0])
+
+    @property
+    def ndof(self) -> int:
+        return 3 * self.n_atoms - 3
+
+
+def init_state(pos, h, vel=None, dtype=None) -> MDState:
+    pos = jnp.asarray(pos, dtype=dtype)
+    if vel is None:
+        vel = jnp.zeros_like(pos)
+    return MDState(
+        pos=pos, vel=jnp.asarray(vel, dtype=pos.dtype), h=jnp.asarray(h, dtype=pos.dtype),
+        vxi=jnp.zeros((NHC_LEN,), dtype=pos.dtype),
+    )
+
+
+def maxwell_velocities(sys: MDSystem, key, T: float, dtype=jnp.float64) -> jax.Array:
+    """Maxwell-Boltzmann velocities at T with zero center-of-mass momentum."""
+    n = sys.n_atoms
+    std = jnp.sqrt(sys.units.boltz * T * sys.units.ftm2v / sys.masses)[:, None]
+    v = jax.random.normal(key, (n, 3), dtype=dtype) * std
+    m = sys.masses[:, None]
+    v = v - jnp.sum(m * v, axis=0) / jnp.sum(m)
+    # rescale to exact target temperature
+    ke2 = jnp.sum(m * v * v) / sys.units.ftm2v
+    t_now = ke2 / (sys.ndof * sys.units.boltz)
+    return v * jnp.sqrt(T / jnp.maximum(t_now, 1e-30))
+
+
+def temperature(sys: MDSystem, vel) -> jax.Array:
+    ke2 = jnp.sum(sys.masses[:, None] * vel * vel) / sys.units.ftm2v
+    return ke2 / (sys.ndof * sys.units.boltz)
+
+
+def forces(sys: MDSystem, pos, h, nbr) -> jax.Array:
+    return -jax.grad(lambda p: sys.ff.energy(p, h, nbr))(pos)
+
+
+def forces_energy_virial(sys: MDSystem, pos, h, nbr):
+    """(F, E, W): forces, potential energy, potential virial tensor.
+
+    W_ab = -dE/d eps_ab for the affine deformation pos->(1+eps)pos,
+    h->(1+eps)h — one extra gradient alongside the force gradient.
+    """
+
+    def e(p, eps):
+        F = jnp.eye(3, dtype=p.dtype) + eps
+        return sys.ff.energy(p @ F.T, F @ h, nbr)
+
+    eps0 = jnp.zeros((3, 3), dtype=pos.dtype)
+    E, (gp, geps) = jax.value_and_grad(e, argnums=(0, 1))(pos, eps0)
+    W = -0.5 * (geps + geps.T)
+    return -gp, E, W
+
+
+def pressure_tensor(sys: MDSystem, state: MDState, W) -> jax.Array:
+    """Instantaneous virial pressure tensor in pressure units (Voigt-6).
+
+    LAMMPS compute pressure: P = (sum m v x v * mvv2e + W) / V * nktv2p.
+    """
+    m = sys.masses[:, None]
+    kin = jnp.einsum("na,nb->ab", m * state.vel, state.vel) / sys.units.ftm2v
+    P = (kin + W) / B.volume(state.h) * sys.units.nktv2p
+    return jnp.stack([P[0, 0], P[1, 1], P[2, 2], P[0, 1], P[0, 2], P[1, 2]])
+
+
+def _nhc_half(sys: MDSystem, vel, vxi, T: float, dt: float):
+    """Half-step Nose-Hoover chain update (MTK); returns scaled (vel, vxi)."""
+    u = sys.units
+    kt = u.boltz * T
+    ndof = sys.ndof
+    q = jnp.concatenate(
+        [jnp.asarray([ndof * kt * sys.tdamp**2], dtype=vel.dtype),
+         jnp.full((NHC_LEN - 1,), kt * sys.tdamp**2, dtype=vel.dtype)]
+    )
+    dt2, dt4, dt8 = dt / 2.0, dt / 4.0, dt / 8.0
+
+    ke2 = jnp.sum(sys.masses[:, None] * vel * vel) / u.ftm2v  # 2*KE
+
+    def g(k, ke2_):
+        return jnp.where(
+            k == 0,
+            (ke2_ - ndof * kt) / q[0],
+            (q[k - 1] * vxi_ref[k - 1] ** 2 - kt) / q[k],
+        )
+
+    # update chain tail -> head
+    vxi_ref = vxi
+    for k in range(NHC_LEN - 1, -1, -1):
+        if k == NHC_LEN - 1:
+            vxi_ref = vxi_ref.at[k].add(dt4 * g(k, ke2))
+        else:
+            s = jnp.exp(-dt8 * vxi_ref[k + 1])
+            vxi_ref = vxi_ref.at[k].set(s * (s * vxi_ref[k] + dt4 * g(k, ke2)))
+
+    # scale particle velocities
+    scale = jnp.exp(-dt2 * vxi_ref[0])
+    vel = vel * scale
+    ke2 = ke2 * scale * scale
+
+    # update chain head -> tail
+    for k in range(NHC_LEN):
+        if k == NHC_LEN - 1:
+            vxi_ref = vxi_ref.at[k].add(dt4 * g(k, ke2))
+        else:
+            s = jnp.exp(-dt8 * vxi_ref[k + 1])
+            vxi_ref = vxi_ref.at[k].set(s * (s * vxi_ref[k] + dt4 * g(k, ke2)))
+    return vel, vxi_ref
+
+
+def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt, thermostat=True):
+    """One velocity-Verlet step (optionally NVT); returns (state, F_new)."""
+    u = sys.units
+    minv = (u.ftm2v / sys.masses)[:, None]
+    vel, vxi = state.vel, state.vxi
+    if thermostat:
+        vel, vxi = _nhc_half(sys, vel, vxi, T, dt)
+    vel = vel + 0.5 * dt * F * minv
+    pos = state.pos + dt * vel
+    F_new = forces(sys, pos, state.h, nbr)
+    vel = vel + 0.5 * dt * F_new * minv
+    if thermostat:
+        vel, vxi = _nhc_half(sys, vel, vxi, T, dt)
+    return state._replace(pos=pos, vel=vel, vxi=vxi), F_new
+
+
+def run_strain(
+    sys: MDSystem,
+    state: MDState,
+    eps_eff: jax.Array,
+    n_steps: jax.Array,
+    T: float,
+    dt: float,
+) -> MDState:
+    """NVT run with linear box deformation toward strain ``eps_eff``.
+
+    The on-device ``in.strain.lammps``: ``fix deform ... erate`` on all six
+    components with affine remap + ``fix nvt``.  ``n_steps`` may be traced
+    (per-job, nts = ceil(|eps|/rate/dt/10)*10, stmd_problem.h:228-232) but
+    is always a multiple of rebuild_every=10, so the loop runs in chunks of
+    10 with one neighbor rebuild per chunk.
+    """
+    h0 = state.h
+    n_steps = jnp.maximum(n_steps, sys.rebuild_every)
+    n_chunks = n_steps // sys.rebuild_every
+
+    def chunk(c, st):
+        nbr = NB.build(sys.nspec, st.pos, st.h)
+        F = forces(sys, st.pos, st.h, nbr)
+
+        def inner(i, carry):
+            st, F = carry
+            st, F = _verlet_step(sys, st, F, nbr, T, dt)
+            # fix deform end_of_step: move box to its target at global step+1
+            gstep = c * sys.rebuild_every + i + 1
+            frac = gstep.astype(st.pos.dtype) / n_steps.astype(st.pos.dtype)
+            h_new = B.deform_path(h0, eps_eff, frac)
+            pos = B.remap_affine(st.h, h_new, st.pos)
+            return (st._replace(pos=pos, h=h_new), F)
+
+        st, _ = jax.lax.fori_loop(0, sys.rebuild_every, inner, (st, F))
+        return st
+
+    return jax.lax.fori_loop(0, n_chunks, chunk, state)
+
+
+def run_nvt(sys: MDSystem, state: MDState, n_steps: int, T: float, dt: float) -> MDState:
+    """Plain NVT run (static step count)."""
+    zero = jnp.zeros((6,), dtype=state.pos.dtype)
+    return run_strain(sys, state, zero, jnp.asarray(n_steps), T, dt)
+
+
+def sample_stress(
+    sys: MDSystem, state: MDState, n_steps: int, T: float, dt: float
+) -> tuple[MDState, jax.Array]:
+    """NVT run returning the time-averaged virial pressure (Voigt-6).
+
+    The on-device ELASTIC/in.homogenization.lammps: ``fix ave/time ...
+    c_thermo_press ave running`` over nssample steps; the reference then
+    converts to Pa as ``-p * 1.01325e5`` (stmd_problem.h:335-341) — the
+    conversion is left to the caller (homogenization.py).
+    """
+    n_chunks = max(1, n_steps // sys.rebuild_every)
+
+    def chunk(st, _):
+        nbr = NB.build(sys.nspec, st.pos, st.h)
+        F, E, W = forces_energy_virial(sys, st.pos, st.h, nbr)
+
+        def inner(i, carry):
+            st, F, acc = carry
+            st, F = _verlet_step(sys, st, F, nbr, T, dt)
+            _, _, W = forces_energy_virial(sys, st.pos, st.h, nbr)
+            acc = acc + pressure_tensor(sys, st, W)
+            return (st, F, acc)
+
+        st, _, acc = jax.lax.fori_loop(
+            0, sys.rebuild_every, inner,
+            (st, F, jnp.zeros((6,), dtype=st.pos.dtype)),
+        )
+        return st, acc
+
+    state, accs = jax.lax.scan(chunk, state, None, length=n_chunks)
+    press = jnp.sum(accs, axis=0) / (n_chunks * sys.rebuild_every)
+    return state, press
+
+
+def minimize_fire(
+    sys: MDSystem, state: MDState, n_steps: int = 200,
+    dt0: float = 1.0, fmax_dt: float = 4.0,
+) -> MDState:
+    """FIRE relaxation (the reference's ``min_style sd``/minimize analog in
+    in.init.lammps material prep).  Fixed iteration count, static shapes.
+    """
+    u = sys.units
+
+    def chunk(st_dt_v, _):
+        st, dt, alpha = st_dt_v
+        nbr = NB.build(sys.nspec, st.pos, st.h)
+
+        def inner(i, carry):
+            st, dt, alpha, vel = carry
+            F = forces(sys, st.pos, st.h, nbr)
+            minv = (u.ftm2v / sys.masses)[:, None]
+            vel = vel + dt * F * minv
+            fnorm = jnp.sqrt(jnp.sum(F * F)) + 1e-30
+            vnorm = jnp.sqrt(jnp.sum(vel * vel))
+            power = jnp.sum(F * vel)
+            vel = (1 - alpha) * vel + alpha * vnorm * F / fnorm
+            uphill = power < 0.0
+            vel = jnp.where(uphill, jnp.zeros_like(vel), vel)
+            dt = jnp.where(uphill, dt * 0.5, jnp.minimum(dt * 1.1, fmax_dt))
+            alpha = jnp.where(uphill, jnp.asarray(0.1, dt.dtype), alpha * 0.99)
+            pos = st.pos + dt * vel
+            return (st._replace(pos=pos), dt, alpha, vel)
+
+        st, dt, alpha, _ = jax.lax.fori_loop(
+            0, sys.rebuild_every, inner, (st, dt, alpha, jnp.zeros_like(st.pos))
+        )
+        return (st, dt, alpha), None
+
+    n_chunks = max(1, n_steps // sys.rebuild_every)
+    (state, _, _), _ = jax.lax.scan(
+        chunk,
+        (state, jnp.asarray(dt0, state.pos.dtype), jnp.asarray(0.1, state.pos.dtype)),
+        None,
+        length=n_chunks,
+    )
+    return state._replace(vel=jnp.zeros_like(state.vel))

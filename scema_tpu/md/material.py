@@ -1,0 +1,163 @@
+"""Material initialization: build + equilibrate a replica, measure its
+equilibrium length/stress/stiffness/density.
+
+The on-device ``init_material`` executable (init_material.cc,
+init_material_problem.h:114-303): the reference minimizes, runs a staged
+heatup/cooldown NPT/NVT cycle (in.init.lammps), measures box lengths,
+samples the residual stress (ELASTIC homogenization), and probes the 6x6
+Voigt stiffness with +/- finite-difference deformations (in.modulus), then
+writes init.<mat>_<n>.{length,stress,stiff,bin}.  Here the same pipeline
+runs on device and returns arrays; io helpers write the reference-format
+text files for interop.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import box as B
+from . import engine as E
+from . import lattice
+from . import neighbor as NB
+from .forcefields import lj as LJmod
+from .forcefields import sw as SWmod
+from .homogenization import MDParams, stiffness_probe
+from .units import REAL, ATM_TO_PA, UnitSystem
+
+# g/mol per A^3 -> kg/m^3
+DENSITY_CONV = 1660.539
+
+
+@dataclass(frozen=True)
+class MaterialSpec:
+    """Description of one MD material box (replaces nanoscale_input files)."""
+
+    name: str
+    force_field: str = "sw"  # sw | lj | opls
+    n_cells: int = 3  # lattice cells per dimension
+    a0: float = 5.431  # lattice parameter (A)
+    mass: float = 28.0855  # g/mol
+    sw: SWmod.SW = field(default_factory=lambda: SWmod.SI)
+    lj_epsilon: float = 0.238
+    lj_sigma: float = 3.405
+    lj_cutoff: float = 8.0
+    neighbor_k: int = 32
+    rebuild_every: int = 10
+
+
+@dataclass(frozen=True)
+class InitData:
+    """The reference's per-replica equilibration outputs
+    (init.<mat>_<n>.{length,stress,stiff} + density)."""
+
+    length: np.ndarray  # (3,)
+    stress: np.ndarray  # (6,) Pa
+    stiff: np.ndarray  # (6, 6) Pa
+    density: float  # kg/m^3
+
+
+def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
+    if spec.force_field == "sw":
+        pos, h = lattice.diamond(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
+        n = len(pos)
+        ff = spec.sw
+        cutoff = ff.cutoff
+        k_max = spec.neighbor_k
+    elif spec.force_field == "lj":
+        pos, h = lattice.fcc(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
+        n = len(pos)
+        ff = LJmod.single_type(spec.lj_epsilon, spec.lj_sigma, spec.lj_cutoff, n, dtype)
+        cutoff = spec.lj_cutoff
+        k_max = max(spec.neighbor_k, 64)
+    else:
+        raise NotImplementedError(
+            f"force field {spec.force_field!r}: opls arrives with the bonded "
+            "topology module; reax is out of scope (SURVEY.md hard parts)"
+        )
+    nspec = NB.derive_spec(n, np.asarray(h), cutoff=cutoff, skin=1.0, k_max=k_max)
+    sys = E.MDSystem(
+        ff=ff,
+        masses=jnp.full((n,), spec.mass, dtype=dtype),
+        nspec=nspec,
+        units=REAL,
+        rebuild_every=spec.rebuild_every,
+    )
+    st = E.init_state(jnp.asarray(pos, dtype=dtype), jnp.asarray(h, dtype=dtype))
+    return sys, st
+
+
+def equilibrate(
+    sys: E.MDSystem,
+    state: E.MDState,
+    params: MDParams,
+    key,
+    minimize_steps: int = 100,
+    equil_steps: int = 200,
+) -> E.MDState:
+    """Minimize then thermalize (the in.init.lammps prep, simplified: the
+    staged NPT heatup/cooldown cycle becomes FIRE + NVT at the target
+    temperature; box stays at the lattice volume)."""
+    state = E.minimize_fire(sys, state, n_steps=minimize_steps, dt0=0.5)
+    vel = E.maxwell_velocities(sys, key, max(params.temperature, 1e-6),
+                               dtype=state.pos.dtype)
+    state = state._replace(vel=vel)
+    if equil_steps > 0:
+        state = E.run_nvt(sys, state, equil_steps, params.temperature, params.dt)
+    return state
+
+
+def measure(
+    sys: E.MDSystem,
+    state: E.MDState,
+    params: MDParams,
+    thermal_stiffness: bool = False,
+) -> InitData:
+    """Measure equilibrium box lengths, residual stress, stiffness, density
+    (init_material_problem.h:192-295)."""
+    L, _ = B.lengths_tilts(state.h)
+    state2, press = E.sample_stress(
+        sys, state, params.nsteps_sample, params.temperature, params.dt
+    )
+    stress = -press * ATM_TO_PA
+    C = stiffness_probe(sys, state2, params, thermal=thermal_stiffness)
+    vol = float(B.volume(state.h))
+    density = float(jnp.sum(sys.masses)) * DENSITY_CONV / vol
+    return InitData(
+        length=np.asarray(L),
+        stress=np.asarray(stress),
+        stiff=np.asarray(C),
+        density=density,
+    )
+
+
+def write_init_files(outdir: str, name: str, replica: int, data: InitData) -> None:
+    """Reference-format init.<mat>_<n>.{length,stress,stiff} text files
+    (read_write.h formats; density file is written per material by
+    average_replica_data, stmd_sync.h:477-487)."""
+    from ..utils import io_tensors as io
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    base = f"{outdir}/init.{name}_{replica}"
+    io.write_vector(base + ".length", data.length)
+    io.write_sym2(base + ".stress", _voigt_to_sym_np(data.stress))
+    io.write_sym4(base + ".stiff", _c66_to_rank4_np(data.stiff))
+
+
+def _voigt_to_sym_np(v):
+    t = np.zeros((3, 3))
+    pairs = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+    for k, (i, j) in enumerate(pairs):
+        t[i, j] = v[k]
+        t[j, i] = v[k]
+    return t
+
+
+def _c66_to_rank4_np(c66):
+    from ..utils import tensors as T
+
+    return np.asarray(T.c66_to_rank4(jnp.asarray(c66)))

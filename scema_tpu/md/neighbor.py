@@ -1,0 +1,156 @@
+"""TPU-native neighbor lists: dense O(N^2) for small boxes, cell-binned
+candidates for large ones — both with static shapes.
+
+Replaces LAMMPS's ``neighbor 2.0 bin`` / ``neigh_modify every 1 delay 5``
+machinery (lammps_scripts in.set.lammps).  Design (pallas_guide: static
+shapes, masking over dynamic control flow):
+
+* A *full* neighbor list (each pair appears in both rows) of fixed width K:
+  ``idx (N, K) int32`` + ``mask (N, K) bool``.  Forces then need no scatter
+  — each atom sums over its own row (Newton-off, compute-rich, TPU-friendly).
+* Small N (< n2_threshold): one masked N^2 distance matrix, top-K by
+  distance via sort.  This is a dense, MXU/VPU-shaped computation.
+* Large N: bin atoms into cells of edge >= cutoff via a sort by cell id,
+  gather the 27 neighboring cells' occupants (fixed capacity per cell) as
+  candidates, then top-K compact.  All static shapes; occupancy overflow is
+  guarded by a generous capacity factor.
+
+Lists are built with a skin (reference: 2.0 A) and reused for
+``rebuild_every`` steps.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import box as B
+
+
+class NeighborList(NamedTuple):
+    idx: jax.Array  # (N, K) int32 neighbor indices (self-padded when invalid)
+    mask: jax.Array  # (N, K) bool
+
+
+@dataclass(frozen=True)
+class NeighborSpec:
+    """Static neighbor-list configuration, fixed at trace time."""
+
+    cutoff: float  # interaction cutoff
+    skin: float = 2.0
+    k_max: int = 64  # neighbor-list width
+    n2_threshold: int = 1024  # below this, use the dense N^2 path
+    cells: tuple[int, int, int] = (0, 0, 0)  # 0 = derive at build time
+    cell_capacity: int = 32
+
+    @property
+    def r_list(self) -> float:
+        return self.cutoff + self.skin
+
+
+def derive_spec(n_atoms: int, h0: np.ndarray, cutoff: float, skin: float = 2.0,
+                k_max: int = 64) -> NeighborSpec:
+    """Choose static cell grid from the initial box (with deformation margin)."""
+    r = cutoff + skin
+    L = np.array([h0[0, 0], h0[1, 1], h0[2, 2]], dtype=float)
+    # 20% margin for box shrinkage under deformation
+    nc = np.maximum(1, np.floor(L / (1.2 * r)).astype(int))
+    if (nc < 3).any():
+        # fewer than 3 cells along an axis makes the 27-stencil wrap onto
+        # duplicate cells, crowding k_max with repeats — use the dense path
+        return NeighborSpec(cutoff=cutoff, skin=skin, k_max=k_max,
+                            n2_threshold=n_atoms)
+    density = n_atoms / float(np.prod(L))
+    cap = int(np.ceil(density * np.prod(L / np.maximum(nc, 1)) * 3.0)) + 8
+    return NeighborSpec(
+        cutoff=cutoff,
+        skin=skin,
+        k_max=k_max,
+        cells=(int(nc[0]), int(nc[1]), int(nc[2])),
+        cell_capacity=cap,
+    )
+
+
+def _topk_compact(dr2: jax.Array, cand_idx: jax.Array, valid: jax.Array, k: int,
+                  r2_cut: float) -> NeighborList:
+    """Sort candidates by (invalid, distance), keep the first k."""
+    big = jnp.asarray(1e30, dtype=dr2.dtype)
+    keyed = jnp.where(valid & (dr2 < r2_cut), dr2, big)
+    order = jnp.argsort(keyed, axis=1)[:, :k]
+    idx = jnp.take_along_axis(cand_idx, order, axis=1)
+    d = jnp.take_along_axis(keyed, order, axis=1)
+    mask = d < big
+    n = dr2.shape[0]
+    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    return NeighborList(
+        idx=jnp.where(mask, idx, self_idx).astype(jnp.int32), mask=mask
+    )
+
+
+def build_dense(spec: NeighborSpec, pos: jax.Array, h: jax.Array) -> NeighborList:
+    """O(N^2) masked neighbor search (small boxes)."""
+    n = pos.shape[0]
+    dr = B.min_image_disp(h, pos[None, :, :] - pos[:, None, :])
+    dr2 = jnp.sum(dr * dr, axis=-1)
+    cand = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
+    valid = ~jnp.eye(n, dtype=bool)
+    return _topk_compact(dr2, cand, valid, min(spec.k_max, n - 1), spec.r_list**2)
+
+
+_CELL_OFFSETS = np.array(
+    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    dtype=np.int32,
+)
+
+
+def build_cells(spec: NeighborSpec, pos: jax.Array, h: jax.Array) -> NeighborList:
+    """Cell-binned neighbor search with static cell grid and capacity."""
+    n = pos.shape[0]
+    ncx, ncy, ncz = spec.cells
+    ncells = ncx * ncy * ncz
+    cap = spec.cell_capacity
+    nc = jnp.asarray([ncx, ncy, ncz])
+
+    s = B.to_fractional(h, pos)
+    s = s - jnp.floor(s)
+    cxyz = jnp.clip((s * nc).astype(jnp.int32), 0, nc - 1)  # (N, 3)
+    cid = (cxyz[:, 0] * ncy + cxyz[:, 1]) * ncz + cxyz[:, 2]  # (N,)
+
+    # sort by cell; rank within each cell via first-occurrence search
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
+    rank = jnp.arange(n) - first
+    # occupancy table (ncells, cap); overflow entries dropped
+    occ = jnp.full((ncells, cap), n, dtype=jnp.int32)
+    ok = rank < cap
+    occ = occ.at[cid_sorted, jnp.clip(rank, 0, cap - 1)].set(
+        jnp.where(ok, order, n).astype(jnp.int32), mode="drop"
+    )
+
+    # candidate ids from the 27 surrounding cells
+    offs = jnp.asarray(_CELL_OFFSETS)  # (27, 3)
+    ncell_xyz = cxyz[:, None, :] + offs[None, :, :]  # (N, 27, 3)
+    ncell_xyz = jnp.mod(ncell_xyz, nc)
+    ncell_id = (ncell_xyz[..., 0] * ncy + ncell_xyz[..., 1]) * ncz + ncell_xyz[..., 2]
+    cand = occ[ncell_id].reshape(n, 27 * cap)  # (N, 27*cap)
+
+    pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), dtype=pos.dtype)], axis=0)
+    dr = B.min_image_disp(h, pos_pad[cand] - pos[:, None, :])
+    dr2 = jnp.sum(dr * dr, axis=-1)
+    valid = (cand < n) & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
+    return _topk_compact(dr2, cand, valid, spec.k_max, spec.r_list**2)
+
+
+def build(spec: NeighborSpec, pos: jax.Array, h: jax.Array) -> NeighborList:
+    if pos.shape[0] <= spec.n2_threshold or spec.cells == (0, 0, 0):
+        return build_dense(spec, pos, h)
+    return build_cells(spec, pos, h)
+
+
+def neighbor_disp(pos: jax.Array, h: jax.Array, nbr: NeighborList) -> jax.Array:
+    """Min-image displacement r_j - r_i for every list entry (N, K, 3)."""
+    return B.min_image_disp(h, pos[nbr.idx] - pos[:, None, :])
