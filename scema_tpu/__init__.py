@@ -26,3 +26,12 @@ hmm         : the top-level coupled HMM time loop and checkpointing
 """
 
 __version__ = "0.1.0"
+
+# TPU MXU matmuls default to bfloat16 accumulation for float32 inputs,
+# which corrupts MD geometry (box transforms, bond angles) and FE assembly
+# far beyond float32 roundoff.  This framework is numerical software:
+# full-precision matmul arithmetic is the only correct default.  Hot
+# kernels that can tolerate lower precision opt in explicitly.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -63,6 +63,19 @@ def cmd_run(args) -> int:
     def fe_of(s):
         return s[0] if isinstance(s, tuple) else s
 
+    from .hmm.checkpoint import save_checkpoint, load_checkpoint
+
+    if args.restart:
+        state = load_checkpoint(args.restart, state)
+        print(f"Restarted from {args.restart} at timestep {int(fe_of(state).timestep)}")
+
+    writer = None
+    if args.outdir:
+        from .fem.output import OutputWriter
+
+        mesh = hmm.base.problem.mesh if hasattr(hmm, "base") else hmm.problem.mesh
+        writer = OutputWriter(args.outdir, mesh.nodes, mesh.cells)
+
     t_total = time.perf_counter()
     for k in range(n_steps):
         t0 = time.perf_counter()
@@ -77,6 +90,16 @@ def cmd_run(args) -> int:
             f"flagged qps {int(out.n_flagged)}  md jobs {int(out.n_jobs)}  "
             f"reaction {float(out.reaction_force):.6g}  ({wall:.3f}s)"
         )
+        if writer is not None:
+            o = cfg.output
+            if ts % o.visualisation_frequency == 0:
+                writer.write_visualisation(fe, ts, float(fe.time))
+            if ts % o.loaded_boundary_force_frequency == 0:
+                writer.write_lbc_force(ts, float(fe.time), float(out.reaction_force))
+            if ts % o.analytics_frequency == 0:
+                writer.write_lhistory(fe, ts)
+            if ts % o.checkpoint_frequency == 0:
+                save_checkpoint(f"{args.outdir}/checkpoint-{ts:06d}.npz", state)
     import numpy as np
 
     u = np.asarray(fe_of(state).u).reshape(-1, 3)
@@ -86,9 +109,147 @@ def cmd_run(args) -> int:
 
 
 def cmd_init_material(args) -> int:
-    print("init-material: on-device material initialization — see scema_tpu.md."
-          " (wired in a later milestone)")
-    return 1
+    """On-device material preparation (init_material.cc equivalent).
+
+    For each (material x replica): build the box, minimize + thermalize,
+    measure equilibrium lengths / residual stress / 6x6 stiffness /
+    density, and write the reference-format init.<mat>_<n>.* files plus
+    per-material common-ground averages (stmd_sync.h:455-489).
+    """
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from .config import load_config
+    from .md import material as M
+    from .md.homogenization import MDParams
+    from .bridging import bridge
+    from .utils import io_tensors as io
+    from .utils import tensors as T
+    import jax.numpy as jnp
+
+    cfg = load_config(args.config)
+    params = MDParams(
+        temperature=cfg.md.temperature,
+        dt=cfg.md.timestep_length,
+        strain_rate=cfg.md.strain_rate,
+        nsteps_sample=cfg.md.nsteps_sample,
+    )
+    outdir = args.outdir or cfg.dirs.nanoscale_input
+    ff = "sw" if "sisw" in cfg.md.scripts_directory else cfg.md.force_field
+    for mat in cfg.material.materials:
+        stiffs, rhos = [], []
+        for repl in range(1, cfg.material.number_of_replicas + 1):
+            spec = M.MaterialSpec(name=mat, force_field=ff, n_cells=args.cells)
+            sys_, st = M.build_system(spec)
+            key = jax.random.PRNGKey(cfg.seed + repl)
+            st = M.equilibrate(sys_, st, params, key,
+                               minimize_steps=args.minimize_steps,
+                               equil_steps=args.equil_steps)
+            data = M.measure(sys_, st, params)
+            M.write_init_files(outdir, mat, repl, data)
+            print(f"{mat}_{repl}: L={data.length[0]:.4f} A  rho={data.density:.1f} "
+                  f"kg/m3  C11={data.stiff[0,0]/1e9:.3f} GPa  "
+                  f"C12={data.stiff[0,1]/1e9:.3f} GPa  C44={data.stiff[3,3]/1e9:.3f} GPa")
+            stiffs.append(data.stiff)
+            rhos.append(data.density)
+        # common-ground per-material averages (identity replica orientations)
+        import os
+
+        os.makedirs(outdir, exist_ok=True)
+        cavg = np.mean(np.stack(stiffs), axis=0)
+        io.write_sym4(f"{outdir}/init.{mat}.stiff",
+                      np.asarray(T.c66_to_rank4(jnp.asarray(cavg))))
+        io.write_scalar(f"{outdir}/init.{mat}.density", float(np.mean(rhos)))
+        print(f"{mat}: wrote averaged init.{mat}.stiff / .density to {outdir}")
+    return 0
+
+
+def cmd_strain_md(args) -> int:
+    """Standalone single-replica strained MD (strain_md.cc equivalent)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from .config import load_config
+    from .md import material as M
+    from .md.homogenization import MDParams, strain_and_homogenize
+
+    cfg = load_config(args.config)
+    params = MDParams(
+        temperature=cfg.md.temperature,
+        dt=cfg.md.timestep_length,
+        strain_rate=cfg.md.strain_rate,
+        nsteps_sample=cfg.md.nsteps_sample,
+    )
+    ff = "sw" if "sisw" in cfg.md.scripts_directory else cfg.md.force_field
+    spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff,
+                          n_cells=args.cells)
+    sys_, st = M.build_system(spec)
+    key = jax.random.PRNGKey(cfg.seed)
+    st = M.equilibrate(sys_, st, params, key, minimize_steps=args.minimize_steps,
+                       equil_steps=args.equil_steps)
+    eps = jnp.asarray([float(x) for x in args.strain.split(",")])
+    from .md import box as B
+
+    L, _ = B.lengths_tilts(st.h)
+    dlength = eps * jnp.stack([L[0], L[1], L[2], L[2], L[1], L[0]])
+    st, stress = jax.jit(lambda s, d: strain_and_homogenize(sys_, s, d, params))(
+        st, dlength
+    )
+    print("stress (Pa, Voigt xx yy zz xy xz yz):")
+    print(" ".join(f"{float(s):.6e}" for s in stress))
+    if args.save_state:
+        from .hmm.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_state, st)
+        print(f"microstate saved to {args.save_state}")
+    return 0
+
+
+def cmd_analyse_md(args) -> int:
+    """Re-homogenize a saved MD microstate (analyse_md.cc equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from .config import load_config
+    from .md import material as M
+    from .md import engine as E
+    from .md.homogenization import MDParams
+    from .md.units import ATM_TO_PA
+    from .hmm.checkpoint import load_checkpoint
+
+    cfg = load_config(args.config)
+    params = MDParams(
+        temperature=cfg.md.temperature,
+        dt=cfg.md.timestep_length,
+        strain_rate=cfg.md.strain_rate,
+        nsteps_sample=cfg.md.nsteps_sample,
+    )
+    ff = "sw" if "sisw" in cfg.md.scripts_directory else cfg.md.force_field
+    spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff,
+                          n_cells=args.cells)
+    sys_, st0 = M.build_system(spec)
+    st = load_checkpoint(args.state, st0)
+    st, press = jax.jit(
+        lambda s: E.sample_stress(sys_, s, params.nsteps_sample,
+                                  params.temperature, params.dt)
+    )(st)
+    stress = -press * ATM_TO_PA
+    print("re-homogenized stress (Pa, Voigt xx yy zz xy xz yz):")
+    print(" ".join(f"{float(s):.6e}" for s in stress))
+    return 0
 
 
 def main(argv=None) -> int:
@@ -101,11 +262,36 @@ def main(argv=None) -> int:
     pr.add_argument("--hooke", action="store_true",
                     help="force 'approximate md with hookes law' debug mode")
     pr.add_argument("--cpu", action="store_true", help="run on CPU in float64")
+    pr.add_argument("--outdir", default="", help="write VTK/CSV/checkpoints here")
+    pr.add_argument("--restart", default="", help="restore from a checkpoint npz")
     pr.set_defaults(fn=cmd_run)
 
     pi = sub.add_parser("init-material", help="equilibrate materials, measure stiffness")
     pi.add_argument("config")
+    pi.add_argument("--cells", type=int, default=3, help="lattice cells per dim")
+    pi.add_argument("--minimize-steps", type=int, default=100)
+    pi.add_argument("--equil-steps", type=int, default=200)
+    pi.add_argument("--outdir", default="")
+    pi.add_argument("--cpu", action="store_true")
     pi.set_defaults(fn=cmd_init_material)
+
+    ps = sub.add_parser("strain-md", help="single strained MD run (strain_md analog)")
+    ps.add_argument("config")
+    ps.add_argument("--strain", default="0.002,0,0,0,0,0",
+                    help="Voigt strain xx,yy,zz,xy,xz,yz")
+    ps.add_argument("--cells", type=int, default=3)
+    ps.add_argument("--minimize-steps", type=int, default=100)
+    ps.add_argument("--equil-steps", type=int, default=100)
+    ps.add_argument("--save-state", default="")
+    ps.add_argument("--cpu", action="store_true")
+    ps.set_defaults(fn=cmd_strain_md)
+
+    pa = sub.add_parser("analyse-md", help="re-homogenize a saved microstate")
+    pa.add_argument("config")
+    pa.add_argument("state", help="microstate checkpoint (npz)")
+    pa.add_argument("--cells", type=int, default=3)
+    pa.add_argument("--cpu", action="store_true")
+    pa.set_defaults(fn=cmd_analyse_md)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -22,30 +22,34 @@ def reduce_graph(adj: jax.Array) -> jax.Array:
     """(n, n) bool adjacency -> (n,) int32 mapping (qp -> source qp).
 
     Nodes outside the graph (no edges) map to themselves.
+
+    Implementation note: a static-bound fori_loop (each iteration removes at
+    least one node, so n iterations suffice) with a no-op guard, instead of
+    the natural while_loop — dynamic-trip-count loops nested under other
+    control flow hang the axon TPU backend, and the masked fori costs only
+    O(n^3) bool ops on a graph tiny next to the MD work.
     """
     n = adj.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
 
-    def cond(carry):
+    def body(_, carry):
         mapping, active = carry
-        return jnp.any(active)
-
-    def body(carry):
-        mapping, active = carry
+        any_active = jnp.any(active)
         live = adj & active[:, None] & active[None, :]
         deg = jnp.sum(live, axis=1)
         # pick the max-degree active node; argmax takes the lowest id on ties
         score = jnp.where(active, deg, -1)
         node = jnp.argmax(score).astype(jnp.int32)
         neigh = live[node]
-        mapping = jnp.where(neigh, node, mapping)
+        new_mapping = jnp.where(neigh, node, mapping)
         removed = neigh | (ids == node)
-        return mapping, active & ~removed
+        new_active = active & ~removed
+        mapping = jnp.where(any_active, new_mapping, mapping)
+        active = jnp.where(any_active, new_active, active)
+        return mapping, active
 
-    # active nodes = nodes that appear in at least one edge
     active0 = jnp.any(adj, axis=1)
-    mapping0 = ids
-    mapping, _ = jax.lax.while_loop(cond, body, (mapping0, active0))
+    mapping, _ = jax.lax.fori_loop(0, n, body, (ids, active0))
     return mapping
 
 

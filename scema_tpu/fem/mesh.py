@@ -106,7 +106,13 @@ def read_msh(path: str) -> HexMesh:
 
     Reads $Nodes and the hexahedral entries of $Elements; other element
     types (points/lines/quads used for physical groups) are skipped.
+    Uses the native C++ parser (native/scema_native.cpp) when built.
     """
+    from ..native import read_msh_native
+
+    native = read_msh_native(path)
+    if native is not None:
+        return HexMesh(nodes=native[0], cells=native[1])
     nodes = {}
     hexes = []
     with open(path) as f:

@@ -45,14 +45,14 @@ def clustering_mapping(state, flags, min_steps: int, n_points: int, threshold: f
     n_qp = flags.shape[0]
     identity = jnp.arange(n_qp, dtype=jnp.int32)
 
-    def run(_):
-        splines = splinify_histories(state.hist.buffer, state.hist.count, n_points)
-        adj = similarity_adjacency(splines, flags, threshold)
-        return reduce_graph(adj)
-
-    return jax.lax.cond(
-        state.timestep > min_steps, run, lambda _: identity, operand=None
-    )
+    # Computed unconditionally and selected — lax.cond around loop-carrying
+    # control flow hangs the axon TPU backend, and the clustering cost is
+    # negligible next to the MD phase it gates.
+    splines = splinify_histories(state.hist.buffer, state.hist.count, n_points)
+    adj = similarity_adjacency(splines, flags, threshold)
+    adj = adj & (state.timestep > min_steps)
+    mapping = reduce_graph(adj)
+    return jnp.where(state.timestep > min_steps, mapping, identity)
 
 
 class StepOutputs(NamedTuple):
@@ -78,6 +78,7 @@ class HMMProblem:
     ensemble: bridge.ReplicaEnsemble
     md_update_fn: MDUpdateFn
     dtype: object
+    surrogate_fn: object = None  # stress method 2 (bridging/surrogate.py)
 
     def init_state(self) -> FEState:
         cfg = self.cfg
@@ -115,7 +116,8 @@ class HMMProblem:
             update_stress_cg = jnp.zeros_like(out.update_strain_cg)
 
         state, res1 = FE.apply_stress_update(
-            ops, state, out.flags, update_stress_cg, id_to_get
+            ops, state, out.flags, update_stress_cg, id_to_get,
+            surrogate_fn=self.surrogate_fn,
         )
         rf = assembly.reaction_force(
             self.geom, state.qp.new_stress, state.qp.rho,
@@ -161,6 +163,7 @@ def build_hooke_hmm(
     cfg: HMMConfig,
     ensemble: bridge.ReplicaEnsemble | None = None,
     device_mesh=None,
+    surrogate_fn=None,
 ) -> HMMProblem:
     """Assemble an HMMProblem with the Hooke's-law fake-MD backend.
 
@@ -210,4 +213,5 @@ def build_hooke_hmm(
         ensemble=ensemble,
         md_update_fn=md_update_fn,
         dtype=dtype,
+        surrogate_fn=surrogate_fn,
     )

@@ -1,0 +1,263 @@
+"""LAMMPS text data-file IO ('atom_style full') and simple molecule builders.
+
+The reference's molecular systems arrive as opaque LAMMPS binary restarts
+(nanoscale_input/init.<mat>_<n>.bin); the portable interchange format is
+the text data file (read_data), which this module reads and writes so
+users can move systems between LAMMPS and this framework.  Sections
+handled: Masses, Pair Coeffs, Bond Coeffs, Angle Coeffs, Dihedral Coeffs,
+Improper Coeffs, Atoms (full), Velocities, Bonds, Angles, Dihedrals,
+Impropers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class MolecularData:
+    masses: np.ndarray  # (ntypes,)
+    pos: np.ndarray  # (N, 3)
+    vel: np.ndarray | None
+    types: np.ndarray  # (N,) 0-based
+    charges: np.ndarray  # (N,)
+    box: np.ndarray  # (3, 3) h-matrix
+    pair_coeffs: np.ndarray  # (ntypes, 2) epsilon sigma
+    bonds: np.ndarray  # (nb, 2) 0-based
+    bond_types: np.ndarray
+    bond_coeffs: np.ndarray  # (nbt, 2) K r0
+    angles: np.ndarray
+    angle_types: np.ndarray
+    angle_coeffs: np.ndarray  # (nat, 2) K theta0(deg)
+    dihedrals: np.ndarray
+    dihedral_types: np.ndarray
+    dihedral_coeffs: np.ndarray  # (ndt, 4) K1..K4
+    impropers: np.ndarray = field(default_factory=lambda: np.zeros((0, 4), np.int32))
+    improper_types: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.int32))
+    improper_coeffs: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
+
+
+def read_data(path: str) -> MolecularData:
+    with open(path) as f:
+        lines = f.read().splitlines()
+
+    counts = {}
+    tilts = np.zeros(3)
+    lo = np.zeros(3)
+    hi = np.zeros(3)
+    sections: dict[str, list[list[str]]] = {}
+    i = 1  # skip title line
+    section = None
+    known = {
+        "Masses", "Pair Coeffs", "Bond Coeffs", "Angle Coeffs",
+        "Dihedral Coeffs", "Improper Coeffs", "Atoms", "Velocities",
+        "Bonds", "Angles", "Dihedrals", "Impropers",
+    }
+    while i < len(lines):
+        raw = lines[i].split("#")[0].strip()
+        i += 1
+        if not raw:
+            continue
+        head = raw
+        for k in known:
+            if head.startswith(k):
+                section = k
+                sections[k] = []
+                break
+        else:
+            if section is not None and raw[0].isdigit() or (section and raw[0] == "-"):
+                sections[section].append(raw.split())
+                continue
+            parts = raw.split()
+            if raw.endswith(("atoms", "bonds", "angles", "dihedrals", "impropers")):
+                counts[parts[-1]] = int(parts[0])
+            elif "types" in raw:
+                counts[" ".join(parts[-2:])] = int(parts[0])
+            elif raw.endswith("xhi"):
+                lo[0], hi[0] = float(parts[0]), float(parts[1])
+            elif raw.endswith("yhi"):
+                lo[1], hi[1] = float(parts[0]), float(parts[1])
+            elif raw.endswith("zhi"):
+                lo[2], hi[2] = float(parts[0]), float(parts[1])
+            elif raw.endswith("yz"):
+                tilts[:] = [float(parts[0]), float(parts[1]), float(parts[2])]
+            continue
+
+    n = counts.get("atoms", 0)
+    ntypes = counts.get("atom types", 0)
+    L = hi - lo
+    box = np.array(
+        [[L[0], tilts[0], tilts[1]], [0, L[1], tilts[2]], [0, 0, L[2]]]
+    )
+
+    masses = np.zeros(ntypes)
+    for row in sections.get("Masses", []):
+        masses[int(row[0]) - 1] = float(row[1])
+
+    pair = np.zeros((ntypes, 2))
+    for row in sections.get("Pair Coeffs", []):
+        pair[int(row[0]) - 1] = [float(row[1]), float(row[2])]
+
+    pos = np.zeros((n, 3))
+    types = np.zeros(n, dtype=np.int32)
+    charges = np.zeros(n)
+    for row in sections.get("Atoms", []):
+        aid = int(row[0]) - 1
+        types[aid] = int(row[2]) - 1
+        charges[aid] = float(row[3])
+        pos[aid] = [float(row[4]), float(row[5]), float(row[6])]
+    pos -= lo[None, :]
+
+    vel = None
+    if "Velocities" in sections:
+        vel = np.zeros((n, 3))
+        for row in sections["Velocities"]:
+            vel[int(row[0]) - 1] = [float(row[1]), float(row[2]), float(row[3])]
+
+    def conn(name, width):
+        rows = sections.get(name, [])
+        arr = np.zeros((len(rows), width), dtype=np.int32)
+        tps = np.zeros(len(rows), dtype=np.int32)
+        for k, row in enumerate(rows):
+            tps[k] = int(row[1]) - 1
+            arr[k] = [int(x) - 1 for x in row[2 : 2 + width]]
+        return arr, tps
+
+    def coeffs(name, width):
+        rows = sections.get(name, [])
+        out = np.zeros((len(rows), width))
+        for row in rows:
+            out[int(row[0]) - 1] = [float(x) for x in row[1 : 1 + width]]
+        return out
+
+    bonds, bond_types = conn("Bonds", 2)
+    angles, angle_types = conn("Angles", 3)
+    dihedrals, dihedral_types = conn("Dihedrals", 4)
+    impropers, improper_types = conn("Impropers", 4)
+
+    return MolecularData(
+        masses=masses,
+        pos=pos,
+        vel=vel,
+        types=types,
+        charges=charges,
+        box=box,
+        pair_coeffs=pair,
+        bonds=bonds,
+        bond_types=bond_types,
+        bond_coeffs=coeffs("Bond Coeffs", 2),
+        angles=angles,
+        angle_types=angle_types,
+        angle_coeffs=coeffs("Angle Coeffs", 2),
+        dihedrals=dihedrals,
+        dihedral_types=dihedral_types,
+        dihedral_coeffs=coeffs("Dihedral Coeffs", 4),
+        impropers=impropers,
+        improper_types=improper_types,
+        improper_coeffs=coeffs("Improper Coeffs", 2),
+    )
+
+
+def build_alkane_chain(
+    n_carbons: int = 8,
+    box_length: float = 30.0,
+    bond_r0: float = 1.54,
+    angle_deg: float = 112.0,
+) -> MolecularData:
+    """United-atom alkane chain (CH2 beads) in a cubic box — a small
+    polyethylene-like test system with bonds/angles/dihedrals and OPLS-UA
+    style parameters (eps=0.118 kcal/mol, sig=3.905 A, TraPPE-ish)."""
+    n = n_carbons
+    theta = np.deg2rad(angle_deg)
+    pos = np.zeros((n, 3))
+    # zig-zag backbone along x
+    dx = bond_r0 * np.sin(theta / 2.0)
+    dz = bond_r0 * np.cos(theta / 2.0)
+    for i in range(n):
+        pos[i] = [i * dx, 0.0, (i % 2) * dz]
+    pos += box_length / 2.0 - pos.mean(axis=0)
+
+    bonds = np.array([[i, i + 1] for i in range(n - 1)], dtype=np.int32)
+    angles = np.array([[i, i + 1, i + 2] for i in range(n - 2)], dtype=np.int32)
+    dihedrals = np.array([[i, i + 1, i + 2, i + 3] for i in range(n - 3)], dtype=np.int32)
+
+    return MolecularData(
+        masses=np.array([14.027]),
+        pos=pos,
+        vel=None,
+        types=np.zeros(n, dtype=np.int32),
+        charges=np.zeros(n),
+        box=np.eye(3) * box_length,
+        pair_coeffs=np.array([[0.118, 3.905]]),
+        bonds=bonds,
+        bond_types=np.zeros(len(bonds), dtype=np.int32),
+        bond_coeffs=np.array([[260.0, bond_r0]]),
+        angles=angles,
+        angle_types=np.zeros(len(angles), dtype=np.int32),
+        angle_coeffs=np.array([[63.0, angle_deg]]),
+        dihedrals=dihedrals,
+        dihedral_types=np.zeros(len(dihedrals), dtype=np.int32),
+        dihedral_coeffs=np.array([[1.411, -0.271, 3.145, 0.0]]),
+    )
+
+
+def to_opls(data: MolecularData, lj_cutoff: float = 12.0, coul_cutoff: float = 9.0,
+            use_ewald: bool = True, dtype=None):
+    """Build an OPLS force field + MDSystem inputs from MolecularData."""
+    import jax.numpy as jnp
+
+    from .forcefields import opls as O
+    from .forcefields import bonded as BD
+    from .forcefields.coulomb import Ewald
+
+    dtype = dtype or jnp.float64
+    eps66, sig66 = O.mix_geometric(
+        jnp.asarray(data.pair_coeffs[:, 0], dtype=dtype),
+        jnp.asarray(data.pair_coeffs[:, 1], dtype=dtype),
+    )
+    topo = BD.Topology(
+        bonds=jnp.asarray(data.bonds, dtype=jnp.int32),
+        bond_type=jnp.asarray(data.bond_types, dtype=jnp.int32),
+        angles=jnp.asarray(data.angles, dtype=jnp.int32),
+        angle_type=jnp.asarray(data.angle_types, dtype=jnp.int32),
+        dihedrals=jnp.asarray(data.dihedrals, dtype=jnp.int32),
+        dihedral_type=jnp.asarray(data.dihedral_types, dtype=jnp.int32),
+        impropers=jnp.asarray(data.impropers, dtype=jnp.int32),
+        improper_type=jnp.asarray(data.improper_types, dtype=jnp.int32),
+    )
+    par = BD.BondedParams(
+        bond_k=jnp.asarray(data.bond_coeffs[:, 0] if len(data.bond_coeffs) else [0.0], dtype=dtype),
+        bond_r0=jnp.asarray(data.bond_coeffs[:, 1] if len(data.bond_coeffs) else [0.0], dtype=dtype),
+        angle_k=jnp.asarray(data.angle_coeffs[:, 0] if len(data.angle_coeffs) else [0.0], dtype=dtype),
+        angle_theta0=jnp.asarray(
+            np.deg2rad(data.angle_coeffs[:, 1]) if len(data.angle_coeffs) else [0.0], dtype=dtype
+        ),
+        dihedral_k=jnp.asarray(
+            data.dihedral_coeffs if len(data.dihedral_coeffs) else np.zeros((1, 4)), dtype=dtype
+        ),
+        improper_k=jnp.asarray(
+            data.improper_coeffs[:, 0] if len(data.improper_coeffs) else [0.0], dtype=dtype
+        ),
+        improper_chi0=jnp.asarray(
+            np.deg2rad(data.improper_coeffs[:, 1]) if len(data.improper_coeffs) else [0.0],
+            dtype=dtype,
+        ),
+    )
+    excl, _ = O.build_exclusions(len(data.pos), data.bonds)
+    ewald = None
+    if use_ewald and np.abs(data.charges).max() > 0:
+        ewald = Ewald.create(data.charges, coul_cutoff, data.box, dtype=dtype)
+    ff = O.OPLS(
+        types=jnp.asarray(data.types, dtype=jnp.int32),
+        charges=jnp.asarray(data.charges, dtype=dtype),
+        lj_epsilon=eps66,
+        lj_sigma=sig66,
+        lj_cutoff=lj_cutoff,
+        coul_cutoff=coul_cutoff,
+        topo=topo,
+        bonded=par,
+        excl=jnp.asarray(excl, dtype=jnp.int32),
+        ewald=ewald,
+    )
+    return ff

@@ -49,6 +49,7 @@ class MDSystem:
     units: UnitSystem = REAL
     rebuild_every: int = 10  # neighbor-list reuse (neigh_modify analog)
     tdamp: float = 100.0  # thermostat damping, time units (fix nvt ... 100.0)
+    grid: object = None  # grid.GridSpec — use the gather-free cell grid
 
     @property
     def n_atoms(self) -> int:
@@ -57,6 +58,14 @@ class MDSystem:
     @property
     def ndof(self) -> int:
         return 3 * self.n_atoms - 3
+
+    def build_neighbors(self, pos, h):
+        """Interaction structure for ff.energy: cell grid or neighbor list."""
+        if self.grid is not None:
+            from . import grid as G
+
+            return G.build_grid(self.grid, pos, h)
+        return NB.build(self.nspec, pos, h)
 
 
 def init_state(pos, h, vel=None, dtype=None) -> MDState:
@@ -200,7 +209,7 @@ def run_strain(
     n_chunks = n_steps // sys.rebuild_every
 
     def chunk(c, st):
-        nbr = NB.build(sys.nspec, st.pos, st.h)
+        nbr = sys.build_neighbors(st.pos, st.h)
         F = forces(sys, st.pos, st.h, nbr)
 
         def inner(i, carry):
@@ -238,7 +247,7 @@ def sample_stress(
     n_chunks = max(1, n_steps // sys.rebuild_every)
 
     def chunk(st, _):
-        nbr = NB.build(sys.nspec, st.pos, st.h)
+        nbr = sys.build_neighbors(st.pos, st.h)
         F, E, W = forces_energy_virial(sys, st.pos, st.h, nbr)
 
         def inner(i, carry):
@@ -270,7 +279,7 @@ def minimize_fire(
 
     def chunk(st_dt_v, _):
         st, dt, alpha = st_dt_v
-        nbr = NB.build(sys.nspec, st.pos, st.h)
+        nbr = sys.build_neighbors(st.pos, st.h)
 
         def inner(i, carry):
             st, dt, alpha, vel = carry

@@ -47,33 +47,59 @@ class SW:
         return self.a * self.sigma
 
     def energy(self, pos: jax.Array, h: jax.Array, nbr: NB.NeighborList) -> jax.Array:
-        dr = NB.neighbor_disp(pos, h, nbr)  # (N, K, 3)
-        r2 = jnp.sum(dr * dr, axis=-1)
+        """Atom-minor layout: all hot arrays end in the atom axis N so the
+        TPU's 128-lane VPU vectorizes across atoms (pallas_guide tiling
+        rules — a trailing dim of 3 or K wastes 125/128 lanes)."""
+        N, K = nbr.idx.shape
+        posT = pos.T  # (3, N)
+        # gathered neighbor coords: (3, K, N)
+        nbrT = posT[:, nbr.idx.T]
+        drT = nbrT - posT[:, None, :]
+        # minimum image on (3, K, N)
+        hinv = jnp.linalg.inv(h) if False else None
+        from .. import box as BX
+
+        ih = BX.inv_h(h)
+        ds = jnp.einsum("ab,bkn->akn", ih, drT)
+        ds = ds - jnp.round(ds)
+        drT = jnp.einsum("ab,bkn->akn", h, ds)
+
+        r2 = jnp.sum(drT * drT, axis=0)  # (K, N)
         rc = self.cutoff
-        mask = nbr.mask & (r2 < (rc - 1e-6) ** 2)
-        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        maskT = nbr.mask.T & (r2 < (rc - 1e-6) ** 2)
+        r = jnp.sqrt(jnp.where(maskT, r2, 1.0))
 
         sig, eps = self.sigma, self.epsilon
         # two-body
         sr = sig / r
         srp = sr**self.p
         srq = sr**self.q
-        expo = jnp.exp(sig / jnp.where(mask, r - rc, -1.0))
+        expo = jnp.exp(sig / jnp.where(maskT, r - rc, -1.0))
         e2 = self.A * eps * (self.B * srp - srq) * expo
-        e2 = 0.5 * jnp.sum(jnp.where(mask, e2, 0.0))
+        e2 = 0.5 * jnp.sum(jnp.where(maskT, e2, 0.0))
 
-        # three-body: ordered neighbor pairs (j, k) of each center i
-        g = jnp.exp(self.gamma * sig / jnp.where(mask, r - rc, -1.0))
-        g = jnp.where(mask, g, 0.0)  # (N, K)
-        u = dr / r[..., None]  # unit vectors (N, K, 3)
-        cos = jnp.einsum("nkd,nld->nkl", u, u)  # (N, K, K)
-        dcos = cos - self.costheta0
-        pair_mask = mask[:, :, None] & mask[:, None, :]
-        K = dr.shape[1]
-        upper = jnp.triu(jnp.ones((K, K), dtype=bool), k=1)
-        w = g[:, :, None] * g[:, None, :]
-        e3 = self.lam * eps * dcos * dcos * w
-        e3 = jnp.sum(jnp.where(pair_mask & upper[None], e3, 0.0))
+        # three-body via per-atom moments: because (cos - c0)^2 is quadratic
+        # in cos(theta_jik) = u_j . u_k, the double neighbor sum collapses
+        # exactly to second moments of the weighted bond vectors —
+        #   sum_{j!=k} g_j g_k (u_j.u_k)^2 = Tr[Q^2] - sum_j g_j^2,
+        #   sum_{j!=k} g_j g_k (u_j.u_k)   = |m|^2   - sum_j g_j^2,
+        #   sum_{j!=k} g_j g_k            = s^2      - sum_j g_j^2,
+        # with m = sum_j g_j u_j, Q = sum_j g_j u_j u_j^T, s = sum_j g_j.
+        # O(K) per atom instead of O(K^2), no (K,K,N) temporaries.
+        g = jnp.exp(self.gamma * sig / jnp.where(maskT, r - rc, -1.0))
+        g = jnp.where(maskT, g, 0.0)  # (K, N)
+        u = drT / r[None, :, :]  # (3, K, N)
+        gu = g[None, :, :] * u
+        s = jnp.sum(g, axis=0)  # (N,)
+        gsq = jnp.sum(g * g, axis=0)
+        m2 = jnp.sum(jnp.sum(gu, axis=1) ** 2, axis=0)  # |m|^2 (N,)
+        Q = jnp.einsum("akn,bkn->abn", gu, u)  # (3, 3, N)
+        trq2 = jnp.einsum("abn,ban->n", Q, Q)
+        c0 = self.costheta0
+        e3_atom = (
+            (trq2 - gsq) - 2.0 * c0 * (m2 - gsq) + c0 * c0 * (s * s - gsq)
+        )
+        e3 = 0.5 * self.lam * eps * jnp.sum(e3_atom)
         return e2 + e3
 
 

@@ -125,7 +125,7 @@ def stiffness_probe(
             st = E.minimize_fire(sys, st, n_steps=relax_steps, dt0=0.2)
         import scema_tpu.md.neighbor as NB
 
-        nbr = NB.build(sys.nspec, st.pos, st.h)
+        nbr = sys.build_neighbors(st.pos, st.h)
         _, _, W = E.forces_energy_virial(sys, st.pos, st.h, nbr)
         return E.pressure_tensor(sys, st._replace(vel=jnp.zeros_like(st.vel)), W)
 

@@ -61,12 +61,16 @@ class InitData:
 
 
 def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
+    use_grid = False
     if spec.force_field == "sw":
         pos, h = lattice.diamond(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
         n = len(pos)
         ff = spec.sw
         cutoff = ff.cutoff
-        k_max = spec.neighbor_k
+        # SW cutoff spans only the first two diamond shells (16 atoms);
+        # 20 slots cover moderate compression
+        k_max = min(spec.neighbor_k, 20)
+        use_grid = n >= 512  # gather-free cell grid for production sizes
     elif spec.force_field == "lj":
         pos, h = lattice.fcc(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
         n = len(pos)
@@ -79,12 +83,19 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
             "topology module; reax is out of scope (SURVEY.md hard parts)"
         )
     nspec = NB.derive_spec(n, np.asarray(h), cutoff=cutoff, skin=1.0, k_max=k_max)
+    gridspec = None
+    if use_grid:
+        from . import grid as G
+
+        gridspec = G.derive_grid(n, np.asarray(h), cutoff=cutoff, skin=0.5)
+        ff = G.SWGrid(sw=ff, spec=gridspec)
     sys = E.MDSystem(
         ff=ff,
         masses=jnp.full((n,), spec.mass, dtype=dtype),
         nspec=nspec,
         units=REAL,
         rebuild_every=spec.rebuild_every,
+        grid=gridspec,
     )
     st = E.init_state(jnp.asarray(pos, dtype=dtype), jnp.asarray(h, dtype=dtype))
     return sys, st

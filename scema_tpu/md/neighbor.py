@@ -64,7 +64,7 @@ def derive_spec(n_atoms: int, h0: np.ndarray, cutoff: float, skin: float = 2.0,
         return NeighborSpec(cutoff=cutoff, skin=skin, k_max=k_max,
                             n2_threshold=n_atoms)
     density = n_atoms / float(np.prod(L))
-    cap = int(np.ceil(density * np.prod(L / np.maximum(nc, 1)) * 3.0)) + 8
+    cap = int(np.ceil(density * np.prod(L / np.maximum(nc, 1)) * 2.0)) + 4
     return NeighborSpec(
         cutoff=cutoff,
         skin=skin,
@@ -76,13 +76,17 @@ def derive_spec(n_atoms: int, h0: np.ndarray, cutoff: float, skin: float = 2.0,
 
 def _topk_compact(dr2: jax.Array, cand_idx: jax.Array, valid: jax.Array, k: int,
                   r2_cut: float) -> NeighborList:
-    """Sort candidates by (invalid, distance), keep the first k."""
+    """Keep the k nearest valid candidates per row.
+
+    Uses lax.top_k on negated distances — O(n_cand * k) per row, far
+    cheaper than a full argsort on TPU (bitonic sort passes dominate
+    otherwise).
+    """
     big = jnp.asarray(1e30, dtype=dr2.dtype)
     keyed = jnp.where(valid & (dr2 < r2_cut), dr2, big)
-    order = jnp.argsort(keyed, axis=1)[:, :k]
+    neg_d, order = jax.lax.top_k(-keyed, k)
     idx = jnp.take_along_axis(cand_idx, order, axis=1)
-    d = jnp.take_along_axis(keyed, order, axis=1)
-    mask = d < big
+    mask = -neg_d < big
     n = dr2.shape[0]
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     return NeighborList(
