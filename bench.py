@@ -29,7 +29,8 @@ def main():
     from scema_tpu.md.homogenization import MDParams
 
     n_jobs = 16
-    spec = M.MaterialSpec(name="sic", force_field="sw", n_cells=6)  # 1728 atoms
+    spec = M.MaterialSpec(name="sic", force_field="sw", n_cells=6,
+                          rebuild_every=25)  # 1728 atoms
     params = MDParams(temperature=300.0, dt=1.0, strain_rate=1e-3, nsteps_sample=50)
     sys_, st0 = M.build_system(spec, dtype=jnp.float32)
     key = jax.random.PRNGKey(0)

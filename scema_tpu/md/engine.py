@@ -50,6 +50,7 @@ class MDSystem:
     rebuild_every: int = 10  # neighbor-list reuse (neigh_modify analog)
     tdamp: float = 100.0  # thermostat damping, time units (fix nvt ... 100.0)
     grid: object = None  # grid.GridSpec — use the gather-free cell grid
+    onehot: object = None  # neighbor_onehot.OneHotSpec — MXU one-hot gather
 
     @property
     def n_atoms(self) -> int:
@@ -60,11 +61,15 @@ class MDSystem:
         return 3 * self.n_atoms - 3
 
     def build_neighbors(self, pos, h):
-        """Interaction structure for ff.energy: cell grid or neighbor list."""
+        """Interaction structure for ff.energy: grid, one-hot, or list."""
         if self.grid is not None:
             from . import grid as G
 
             return G.build_grid(self.grid, pos, h)
+        if self.onehot is not None:
+            from . import neighbor_onehot as OH
+
+            return OH.build_onehot(self.onehot, pos, h)
         return NB.build(self.nspec, pos, h)
 
 

@@ -61,7 +61,7 @@ class InitData:
 
 
 def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
-    use_grid = False
+    use_onehot = False
     if spec.force_field == "sw":
         pos, h = lattice.diamond(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
         n = len(pos)
@@ -70,7 +70,11 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         # SW cutoff spans only the first two diamond shells (16 atoms);
         # 20 slots cover moderate compression
         k_max = min(spec.neighbor_k, 20)
-        use_grid = n >= 512  # gather-free cell grid for production sizes
+        # NOTE: the cell-grid path (md/grid.py) is bit-exact but loses to
+        # XLA temporary-materialization overhead at these sizes; it stays
+        # available as the substrate for a fused Pallas kernel.  Production
+        # sizes use the tile-local one-hot structure (neighbor_onehot.py).
+        use_onehot = n >= 512
     elif spec.force_field == "lj":
         pos, h = lattice.fcc(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
         n = len(pos)
@@ -83,19 +87,24 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
             "topology module; reax is out of scope (SURVEY.md hard parts)"
         )
     nspec = NB.derive_spec(n, np.asarray(h), cutoff=cutoff, skin=1.0, k_max=k_max)
-    gridspec = None
-    if use_grid:
-        from . import grid as G
+    ohspec = None
+    if use_onehot:
+        from . import neighbor_onehot as OH
 
-        gridspec = G.derive_grid(n, np.asarray(h), cutoff=cutoff, skin=0.5)
-        ff = G.SWGrid(sw=ff, spec=gridspec)
+        density = n / float(np.prod(np.diag(np.asarray(h))))
+        perm = OH.spatial_sort(np.asarray(pos), np.asarray(h),
+                               brick=(128.0 / density) ** (1.0 / 3.0))
+        pos = np.asarray(pos)[perm]
+        ohspec = OH.derive_onehot_spec(n, np.asarray(h), cutoff=cutoff,
+                                       skin=1.0, k=k_max)
+        ff = OH.SWOneHot(sw=ff, spec=ohspec)
     sys = E.MDSystem(
         ff=ff,
         masses=jnp.full((n,), spec.mass, dtype=dtype),
         nspec=nspec,
         units=REAL,
         rebuild_every=spec.rebuild_every,
-        grid=gridspec,
+        onehot=ohspec,
     )
     st = E.init_state(jnp.asarray(pos, dtype=dtype), jnp.asarray(h, dtype=dtype))
     return sys, st
