@@ -61,7 +61,9 @@ def cmd_run(args) -> int:
     step = jax.jit(hmm.step)
 
     def fe_of(s):
-        return s[0] if isinstance(s, tuple) else s
+        # the MD-coupled carry is (FEState, MicroStates); FEState itself is
+        # a NamedTuple, so dispatch on the field, not on tuple-ness
+        return s if hasattr(s, "timestep") else s[0]
 
     from .hmm.checkpoint import save_checkpoint, load_checkpoint
 
@@ -75,6 +77,9 @@ def cmd_run(args) -> int:
 
         mesh = hmm.base.problem.mesh if hasattr(hmm, "base") else hmm.problem.mesh
         writer = OutputWriter(args.outdir, mesh.nodes, mesh.cells)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
 
     t_total = time.perf_counter()
     for k in range(n_steps):
@@ -100,6 +105,9 @@ def cmd_run(args) -> int:
                 writer.write_lhistory(fe, ts)
             if ts % o.checkpoint_frequency == 0:
                 save_checkpoint(f"{args.outdir}/checkpoint-{ts:06d}.npz", state)
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.profile}")
     import numpy as np
 
     u = np.asarray(fe_of(state).u).reshape(-1, 3)
@@ -264,6 +272,8 @@ def main(argv=None) -> int:
     pr.add_argument("--cpu", action="store_true", help="run on CPU in float64")
     pr.add_argument("--outdir", default="", help="write VTK/CSV/checkpoints here")
     pr.add_argument("--restart", default="", help="restore from a checkpoint npz")
+    pr.add_argument("--profile", default="",
+                    help="capture a jax.profiler trace of the run to this dir")
     pr.set_defaults(fn=cmd_run)
 
     pi = sub.add_parser("init-material", help="equilibrate materials, measure stiffness")

@@ -18,16 +18,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def reduce_graph(adj: jax.Array) -> jax.Array:
+def reduce_graph(adj: jax.Array, max_picks: int = 128) -> jax.Array:
     """(n, n) bool adjacency -> (n,) int32 mapping (qp -> source qp).
 
     Nodes outside the graph (no edges) map to themselves.
 
-    Implementation note: a static-bound fori_loop (each iteration removes at
-    least one node, so n iterations suffice) with a no-op guard, instead of
-    the natural while_loop — dynamic-trip-count loops nested under other
-    control flow hang the axon TPU backend, and the masked fori costs only
-    O(n^3) bool ops on a graph tiny next to the MD work.
+    Implementation notes:
+    * a static-bound fori_loop with a no-op guard instead of the natural
+      while_loop — dynamic-trip-count loops nested under other control
+      flow hang the axon TPU backend;
+    * the loop is capped at ``max_picks`` greedy picks (the reference's
+      networkx run typically converges in a handful of iterations for
+      smooth strain fields); qps not reached by then keep the identity
+      mapping, i.e. they run their own MD — a conservative fallback that
+      only costs extra MD, never wrong stresses.  Uncapped, the masked
+      loop would be O(n^3) in flagged qps.
     """
     n = adj.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
@@ -49,7 +54,7 @@ def reduce_graph(adj: jax.Array) -> jax.Array:
         return mapping, active
 
     active0 = jnp.any(adj, axis=1)
-    mapping, _ = jax.lax.fori_loop(0, n, body, (ids, active0))
+    mapping, _ = jax.lax.fori_loop(0, min(n, max_picks), body, (ids, active0))
     return mapping
 
 

@@ -224,7 +224,7 @@ def _mesh(d):
         x_cells=int(_get(i, "x cells", 3)),
         y_cells=int(_get(i, "y cells", 3)),
         z_cells=int(_get(i, "z cells", 8)),
-        mesh_file=_get(i, "file", ""),
+        mesh_file=_get(i, "filename", _get(i, "file", "")),
         extrude_length=float(_get(i, "extrude length", 0.0)),
         extrude_points=int(_get(i, "extrude points", 0)),
         calculi_B=float(_get(i, "calculi_B", 0.0)),
@@ -328,7 +328,18 @@ def config_from_dict(d: Mapping[str, Any], **overrides) -> HMMConfig:
 
 
 def load_config(path: str, **overrides) -> HMMConfig:
-    """Load a reference-format ``inputs.json`` (dealammps.cc:213-339)."""
+    """Load a reference-format ``inputs.json`` (dealammps.cc:213-339).
+
+    A relative mesh ``filename`` is resolved against the config's directory.
+    """
+    import os
+
     with open(path) as f:
         d = json.load(f)
-    return config_from_dict(d, **overrides)
+    cfg = config_from_dict(d, **overrides)
+    mf = cfg.mesh.mesh_file
+    if mf and not os.path.isabs(mf) and not os.path.exists(mf):
+        cand = os.path.join(os.path.dirname(os.path.abspath(path)), mf)
+        if os.path.exists(cand):
+            cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, mesh_file=cand))
+    return cfg

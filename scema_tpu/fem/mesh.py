@@ -112,7 +112,7 @@ def read_msh(path: str) -> HexMesh:
 
     native = read_msh_native(path)
     if native is not None:
-        return HexMesh(nodes=native[0], cells=native[1])
+        return _prune_unused(HexMesh(nodes=native[0], cells=native[1]))
     nodes = {}
     hexes = []
     with open(path) as f:
@@ -139,7 +139,50 @@ def read_msh(path: str) -> HexMesh:
     node_arr = np.asarray([nodes[g] for g in ids])
     cell_arr = np.asarray([[remap[g] for g in h] for h in hexes], dtype=np.int32)
     cell_arr = cell_arr[:, np.argsort(_GMSH_HEX_TO_BIT)]
-    return HexMesh(nodes=node_arr, cells=cell_arr)
+    return _prune_unused(HexMesh(nodes=node_arr, cells=cell_arr))
+
+
+def _prune_unused(mesh: HexMesh) -> HexMesh:
+    """Drop nodes not referenced by any hex (gmsh files carry surface-only
+    nodes, which would have zero lumped mass -> NaN velocities)."""
+    used = np.unique(mesh.cells)
+    remap = np.full(mesh.n_nodes, -1, dtype=np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    return HexMesh(nodes=mesh.nodes[used], cells=remap[mesh.cells])
+
+
+def read_msh_quads(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """GMSH v2 ASCII reader for 2D quad meshes (element type 3).
+
+    Returns (nodes (n, 3), quads (m, 4)) for extrusion
+    (FE_problem_type.h:71-91 import_2Dmesh).
+    """
+    nodes = {}
+    quads = []
+    with open(path) as f:
+        lines = iter(f.read().splitlines())
+    for line in lines:
+        if line.startswith("$Nodes"):
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split()
+                nodes[int(parts[0])] = [float(parts[1]), float(parts[2]), float(parts[3])]
+        elif line.startswith("$Elements"):
+            n = int(next(lines))
+            for _ in range(n):
+                parts = next(lines).split()
+                etype = int(parts[1])
+                ntags = int(parts[2])
+                conn = [int(p) for p in parts[3 + ntags:]]
+                if etype == 3:
+                    quads.append(conn)
+    if not quads:
+        raise ValueError(f"no quads found in {path}")
+    ids = sorted(nodes)
+    remap = {gid: i for i, gid in enumerate(ids)}
+    node_arr = np.asarray([nodes[g] for g in ids])
+    quad_arr = np.asarray([[remap[g] for g in q] for q in quads], dtype=np.int32)
+    return node_arr, quad_arr
 
 
 def extrude_quads_to_hexes(

@@ -66,6 +66,13 @@ def make_dogbone(cfg: HMMConfig, dtype=jnp.float64) -> Problem:
     m = cfg.mesh
     if m.style == "cuboid":
         mesh = build_cuboid(m.x_length, m.y_length, m.z_length, m.x_cells, m.y_cells, m.z_cells)
+    elif "2" in m.style:  # file2D: quad mesh extruded along z
+        from .mesh import read_msh_quads, extrude_quads_to_hexes
+
+        nodes2d, quads = read_msh_quads(m.mesh_file)
+        mesh = reposition_for_dogbone(
+            extrude_quads_to_hexes(nodes2d, quads, m.extrude_length, m.extrude_points)
+        )
     else:
         mesh = reposition_for_dogbone(read_msh(m.mesh_file))
     zmax = mesh.limits(2)[1]
@@ -177,8 +184,8 @@ def make_problem(cfg: HMMConfig, dtype=jnp.float64) -> Problem:
     cls = cfg.problem.cls
     if cls == "dogbone":
         return make_dogbone(cfg, dtype)
-    if cls == "dropweight":
+    if cls in ("dropweight", "drop weight"):
         return make_dropweight(cfg, dtype)
-    if cls == "compact":
+    if cls in ("compact", "compact tension"):
         return make_compact_tension(cfg, dtype)
     raise ValueError(f"unknown problem type class: {cls!r}")

@@ -49,11 +49,24 @@ class MicroStates(NamedTuple):
 
 
 def broadcast_micro(state: E.MDState, n_qp: int, n_repl: int) -> MicroStates:
-    def bc(x):
+    """Tile one or a per-replica stack of equilibrated states over qps.
+
+    ``state`` leaves may be unbatched (shared across replicas) or carry a
+    leading (n_repl,) axis (distinct equilibrated replicas — the
+    reference's init.<mat>_<r>.bin per-replica restarts).
+    """
+    base_ndim = 2  # pos/vel are (N, 3)
+
+    def bc(x, nd):
+        if x.ndim == nd + 1:  # already per-replica
+            return jnp.broadcast_to(x, (n_qp,) + x.shape)
         return jnp.broadcast_to(x, (n_qp, n_repl) + x.shape)
 
     return MicroStates(
-        pos=bc(state.pos), vel=bc(state.vel), h=bc(state.h), vxi=bc(state.vxi),
+        pos=bc(state.pos, base_ndim),
+        vel=bc(state.vel, base_ndim),
+        h=bc(state.h, 2),
+        vxi=bc(state.vxi, 1),
         has_run=jnp.zeros((n_qp,), dtype=bool),
     )
 
@@ -68,6 +81,7 @@ class MDBackend:
     n_repl: int
     max_jobs: int  # static job-list capacity
     initial_md_state: E.MDState = None  # the equilibrated replica microstate
+    device_mesh: object = None  # jax Mesh — shard the job batch over "md"
 
     def make_update_fn(self):
         """Returns (update_fn, init_micro_carry_handling) for HMMProblem.
@@ -121,6 +135,20 @@ class MDBackend:
                 return st.pos, st.vel, st.h, st.vxi, stress
 
             run = jax.vmap(jax.vmap(one))
+            if self.device_mesh is not None:
+                # the reference's P3 task parallelism (MD batches round-
+                # robined over communicators, stmd_sync.h:189-278, 583)
+                # becomes a shard_map of the job axis over ICI
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                run = shard_map(
+                    run,
+                    mesh=self.device_mesh,
+                    in_specs=(P("md"),) * 5,
+                    out_specs=(P("md"),) * 5,
+                    check_vma=False,
+                )
             npos, nvel, nh, nvxi, sigma_rep = run(jpos, jvel, jh, jvxi, dlength)
             sigma_rep = sigma_rep.astype(eps_cg.dtype)
 
@@ -229,6 +257,7 @@ def build_md_hmm(
     spec: M.MaterialSpec | None = None,
     equil_steps: int = 100,
     minimize_steps: int = 100,
+    device_mesh=None,
 ) -> MDHMMProblem:
     """Assemble the full MD-coupled HMM from a reference-format config.
 
@@ -255,27 +284,29 @@ def build_md_hmm(
         nsteps_sample=cfg.md.nsteps_sample,
     )
 
-    # material initialization (init_material equivalent)
-    sys, st0 = M.build_system(spec, dtype=md_dtype)
-    key = jax.random.PRNGKey(cfg.seed)
-    st0 = M.equilibrate(sys, st0, params, key,
-                        minimize_steps=minimize_steps, equil_steps=equil_steps)
-    data = M.measure(sys, st0, params)
+    # material initialization (init_material equivalent): each replica is
+    # equilibrated with its own thermal seed and measured independently
+    # (the reference's per-replica init.<mat>_<r>.* data,
+    # init_material_sync/problem.h)
+    sys, st_init = M.build_system(spec, dtype=md_dtype)
+    rep_states = []
+    rep_data = []
+    for r in range(n_repl):
+        key = jax.random.PRNGKey(cfg.seed + r)
+        st_r = M.equilibrate(sys, st_init, params, key,
+                             minimize_steps=minimize_steps,
+                             equil_steps=equil_steps)
+        rep_states.append(st_r)
+        rep_data.append(M.measure(sys, st_r, params))
+    st0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rep_states)
+    data = rep_data[0]
 
-    # replica ensemble: identical replicas (distinct thermal seeds arrive
-    # with multi-replica initialization in a later milestone)
     ens = bridge.ReplicaEnsemble(
         rotam=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (1, n_repl, 3, 3)),
-        init_length=jnp.broadcast_to(
-            jnp.asarray(data.length, dtype=dtype), (1, n_repl, 3)
-        ),
-        init_stress=jnp.broadcast_to(
-            jnp.asarray(data.stress, dtype=dtype), (1, n_repl, 6)
-        ),
-        init_stiff=jnp.broadcast_to(
-            jnp.asarray(data.stiff, dtype=dtype), (1, n_repl, 6, 6)
-        ),
-        rho=jnp.full((1, n_repl), data.density, dtype=dtype),
+        init_length=jnp.stack([jnp.asarray(d.length, dtype=dtype) for d in rep_data])[None],
+        init_stress=jnp.stack([jnp.asarray(d.stress, dtype=dtype) for d in rep_data])[None],
+        init_stiff=jnp.stack([jnp.asarray(d.stiff, dtype=dtype) for d in rep_data])[None],
+        rho=jnp.asarray([[d.density for d in rep_data]], dtype=dtype),
     )
 
     problem = make_problem(cfg, dtype)
@@ -296,10 +327,14 @@ def build_md_hmm(
         cfg=cfg, problem=problem, geom=geom, ops=ops, ensemble=ens,
         md_update_fn=None, dtype=dtype,
     )
-    max_jobs = cfg.resources.max_md_jobs or geom.n_qp_total
+    max_jobs = min(cfg.resources.max_md_jobs or geom.n_qp_total, geom.n_qp_total)
+    if device_mesh is not None:
+        n_dev = device_mesh.shape["md"]
+        max_jobs = ((max_jobs + n_dev - 1) // n_dev) * n_dev
     backend = MDBackend(
         sys=sys, params=params, ensemble=ens, n_repl=n_repl,
-        max_jobs=min(max_jobs, geom.n_qp_total),
+        max_jobs=max_jobs,
         initial_md_state=st0,
+        device_mesh=device_mesh,
     )
     return MDHMMProblem(base=base, backend=backend)

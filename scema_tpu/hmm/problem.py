@@ -149,7 +149,7 @@ def assign_materials(cfg: HMMConfig, geom: shapes.FEGeometry, dtype) -> jax.Arra
     mt19937(time(0)) on rank 0 + MPI_Bcast (FE_problem.h:265-272); here a
     fixed-seed jax PRNG so runs are reproducible.
     """
-    props = jnp.asarray(cfg.material.proportions, dtype=jnp.float64)
+    props = jnp.asarray(cfg.material.proportions)
     if abs(float(props.sum()) - 1.0) > 1e-4:
         raise ValueError("Material proportions must sum to 1")  # FE.h:185-189
     key = jax.random.PRNGKey(cfg.seed)

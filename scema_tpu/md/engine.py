@@ -239,6 +239,56 @@ def run_nvt(sys: MDSystem, state: MDState, n_steps: int, T: float, dt: float) ->
     return run_strain(sys, state, zero, jnp.asarray(n_steps), T, dt)
 
 
+def run_npt(
+    sys: MDSystem,
+    state: MDState,
+    n_steps: int,
+    T_start: float,
+    T_end: float,
+    dt: float,
+    p_target: float = 1.0,
+    pdamp: float = 1000.0,
+    compressibility: float = 4.5e-5,
+) -> MDState:
+    """NPT with a temperature ramp: NVT-NHC + isotropic Berendsen barostat.
+
+    The on-device analog of the reference material-prep stages
+    (``fix npt temp T1 T2 100.0 iso 1.0 1.0 1000``, in.init.lammps): the
+    thermostat ramps linearly from T_start to T_end; each step the box is
+    scaled by mu = (1 - dt/pdamp * kappa * (p0 - p))^(1/3) using the
+    instantaneous virial pressure (p in the unit system's pressure unit;
+    kappa in 1/pressure-unit).  Berendsen rather than MTK: material prep
+    only needs relaxation to the target state, not NPT-ensemble statistics.
+    """
+    n_chunks = max(1, n_steps // sys.rebuild_every)
+    total = n_chunks * sys.rebuild_every
+
+    def chunk(c, st):
+        nbr = sys.build_neighbors(st.pos, st.h)
+        F = forces(sys, st.pos, st.h, nbr)
+
+        def inner(i, carry):
+            st, F = carry
+            gstep = c * sys.rebuild_every + i
+            frac = gstep.astype(st.pos.dtype) / total
+            T = T_start + (T_end - T_start) * frac
+            st, F = _verlet_step(sys, st, F, nbr, T, dt)
+            _, _, W = forces_energy_virial(sys, st.pos, st.h, nbr)
+            p6 = pressure_tensor(sys, st, W)
+            p_iso = (p6[0] + p6[1] + p6[2]) / 3.0
+            mu = (1.0 - dt / pdamp * compressibility * (p_target - p_iso)) ** (
+                1.0 / 3.0
+            )
+            h_new = st.h * mu
+            pos = st.pos * mu
+            return (st._replace(pos=pos, h=h_new), F)
+
+        st, _ = jax.lax.fori_loop(0, sys.rebuild_every, inner, (st, F))
+        return st
+
+    return jax.lax.fori_loop(0, n_chunks, chunk, state)
+
+
 def sample_stress(
     sys: MDSystem, state: MDState, n_steps: int, T: float, dt: float
 ) -> tuple[MDState, jax.Array]:

@@ -130,6 +130,32 @@ def equilibrate(
     return state
 
 
+def equilibrate_staged(
+    sys: E.MDSystem,
+    state: E.MDState,
+    params: MDParams,
+    key,
+    ns_init: int = 100,
+    minimize_steps: int = 100,
+) -> E.MDState:
+    """The reference's full heatup/cooldown material-prep cycle
+    (in.init.lammps): minimize -> NVT@300 -> NPT 300->500 -> NPT@500 (5x)
+    -> NPT 500->T -> NPT@T (2x), isotropic 1 atm barostat.  ``ns_init``
+    scales all stage lengths like the script's ``nsinit``."""
+    T = params.temperature
+    dt = params.dt
+    state = E.minimize_fire(sys, state, n_steps=minimize_steps, dt0=0.5)
+    state = state._replace(
+        vel=E.maxwell_velocities(sys, key, 200.0, dtype=state.pos.dtype)
+    )
+    state = E.run_nvt(sys, state, ns_init, 300.0, dt)
+    state = E.run_npt(sys, state, ns_init, 300.0, 500.0, dt)
+    state = E.run_npt(sys, state, 5 * ns_init, 500.0, 500.0, dt)
+    state = E.run_npt(sys, state, ns_init, 500.0, T, dt)
+    state = E.run_npt(sys, state, 2 * ns_init, T, T, dt)
+    return state
+
+
 def measure(
     sys: E.MDSystem,
     state: E.MDState,

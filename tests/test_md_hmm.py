@@ -107,7 +107,8 @@ def test_md_microstate_persistence():
     hmm = build_md_hmm(cfg, spec=SPEC, equil_steps=0, minimize_steps=50)
     carry = hmm.init_state()
     step = jax.jit(hmm.step)
-    L0 = float(hmm.backend.initial_md_state.h[2, 2])
+    # initial_md_state is stacked per replica: (n_repl, 3, 3) box
+    L0 = float(hmm.backend.initial_md_state.h[0, 2, 2])
     # probe a top-cell qp (the last one): at step 1 the strain concentrates
     # in the top cell (eps_zz ~ strain_rate * Lz / cell_height = 0.004)
     q = hmm.geom.n_qp_total - 1
