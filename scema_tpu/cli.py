@@ -45,6 +45,12 @@ def cmd_run(args) -> int:
                 use_pjm_scheduler=False,
             )
         )
+    if args.max_jobs:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(
+            resources=_dc.replace(cfg.resources, max_md_jobs=args.max_jobs)
+        )
 
     n_steps = args.steps or (cfg.time.end_timestep - cfg.time.start_timestep + 1)
 
@@ -274,6 +280,8 @@ def main(argv=None) -> int:
     pr.add_argument("--restart", default="", help="restore from a checkpoint npz")
     pr.add_argument("--profile", default="",
                     help="capture a jax.profiler trace of the run to this dir")
+    pr.add_argument("--max-jobs", type=int, default=0,
+                    help="cap the static MD job-list capacity")
     pr.set_defaults(fn=cmd_run)
 
     pi = sub.add_parser("init-material", help="equilibrate materials, measure stiffness")

@@ -124,18 +124,23 @@ class OutputWriter:
         stress = np.asarray(fe_state.qp.new_stress).reshape(len(self.cells), n_qp_per_cell, 6)
         mat = np.asarray(fe_state.qp.material).reshape(len(self.cells), n_qp_per_cell)
         fname = f"solution-{timestep:06d}.vtu"
-        write_vtu(
-            os.path.join(self.outdir, fname),
-            self.nodes,
-            self.cells,
-            point_data={"displacement": u, "velocity": v},
-            cell_data={
-                "strain": strain.mean(axis=1),
-                "stress": stress.mean(axis=1),
-                "material": mat[:, 0].astype(float),
-                "von_mises": _von_mises(stress.mean(axis=1)),
-            },
-        )
+        point_data = {"displacement": u, "velocity": v}
+        cell_data = {
+            "strain": strain.mean(axis=1),
+            "stress": stress.mean(axis=1),
+            "material": mat[:, 0].astype(float),
+            "von_mises": _von_mises(stress.mean(axis=1)),
+        }
+        # production-size meshes use the native binary-appended writer
+        # (native/scema_native.cpp); small meshes stay human-readable ASCII
+        path = os.path.join(self.outdir, fname)
+        wrote = False
+        if len(self.cells) >= 4096:
+            from ..native import write_vtu_native
+
+            wrote = write_vtu_native(path, self.nodes, self.cells, point_data, cell_data)
+        if not wrote:
+            write_vtu(path, self.nodes, self.cells, point_data, cell_data)
         self.pvd_entries.append((time, fname))
         write_pvd(os.path.join(self.outdir, "solution.pvd"), self.pvd_entries)
         return fname

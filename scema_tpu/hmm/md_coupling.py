@@ -275,7 +275,12 @@ def build_md_hmm(
     n_repl = cfg.material.number_of_replicas
 
     if spec is None:
-        spec = M.MaterialSpec(name=cfg.material.materials[0])
+        ff = cfg.md.force_field
+        if "sisw" in cfg.md.scripts_directory:
+            # the shipped example declares 'opls' but points at the
+            # Stillinger-Weber script set (examples/.../inputs.json quirk)
+            ff = "sw"
+        spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff)
 
     params = MDParams(
         temperature=cfg.md.temperature,

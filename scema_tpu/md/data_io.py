@@ -202,6 +202,68 @@ def build_alkane_chain(
     )
 
 
+def build_alkane_melt(
+    n_chains: int = 27,
+    n_carbons: int = 8,
+    density_scale: float = 1.0,
+) -> MolecularData:
+    """A melt of united-atom alkane chains on a lattice — the test/demo
+    polymer material standing in for the reference's polyethylene boxes
+    (whose LAMMPS binary restarts are opaque).  Chains are placed on a
+    cubic lattice sized for ~0.7 g/cm^3 and need equilibration
+    (material.equilibrate_staged) before production use."""
+    single = build_alkane_chain(n_carbons, box_length=1.0)
+    n_side = int(round(n_chains ** (1.0 / 3.0)))
+    n_chains = n_side**3
+    n_per = n_carbons
+    # melt density ~0.70 g/cm^3 => volume per CH2 bead ~ 33 A^3
+    vol = n_chains * n_per * 33.3 / density_scale
+    L = vol ** (1.0 / 3.0)
+    pitch = L / n_side
+
+    chain = single.pos - single.pos.mean(axis=0)
+    span = np.abs(chain).max()
+    scale = min(1.0, 0.45 * pitch / max(span, 1e-9))
+    # compress the chain slightly if the lattice pitch is tight; bonds are
+    # restored by minimization
+    chain_local = chain * max(scale, 0.6)
+
+    pos = []
+    bonds, angles, dihedrals = [], [], []
+    for cz in range(n_side):
+        for cy in range(n_side):
+            for cx in range(n_side):
+                base = len(pos)
+                off = (np.array([cx, cy, cz]) + 0.5) * pitch
+                rot = np.eye(3)
+                if (cx + cy + cz) % 2:
+                    rot = np.array([[0, 1, 0], [0, 0, 1], [1, 0, 0.0]])
+                pos.extend((chain_local @ rot.T) + off)
+                bonds.extend(single.bonds + base)
+                angles.extend(single.angles + base)
+                dihedrals.extend(single.dihedrals + base)
+
+    n = len(pos)
+    return MolecularData(
+        masses=single.masses,
+        pos=np.asarray(pos),
+        vel=None,
+        types=np.zeros(n, dtype=np.int32),
+        charges=np.zeros(n),
+        box=np.eye(3) * L,
+        pair_coeffs=single.pair_coeffs,
+        bonds=np.asarray(bonds, dtype=np.int32),
+        bond_types=np.zeros(len(bonds), dtype=np.int32),
+        bond_coeffs=single.bond_coeffs,
+        angles=np.asarray(angles, dtype=np.int32),
+        angle_types=np.zeros(len(angles), dtype=np.int32),
+        angle_coeffs=single.angle_coeffs,
+        dihedrals=np.asarray(dihedrals, dtype=np.int32),
+        dihedral_types=np.zeros(len(dihedrals), dtype=np.int32),
+        dihedral_coeffs=single.dihedral_coeffs,
+    )
+
+
 def to_opls(data: MolecularData, lj_cutoff: float = 12.0, coul_cutoff: float = 9.0,
             use_ewald: bool = True, dtype=None):
     """Build an OPLS force field + MDSystem inputs from MolecularData."""

@@ -47,6 +47,12 @@ class MaterialSpec:
     lj_cutoff: float = 8.0
     neighbor_k: int = 32
     rebuild_every: int = 10
+    # opls extras: a LAMMPS data file, or the built-in alkane-melt builder
+    data_file: str = ""
+    n_chains: int = 27
+    chain_length: int = 8
+    opls_lj_cutoff: float = 10.0
+    use_ewald: bool = False  # alkanes are uncharged; data files may enable
 
 
 @dataclass(frozen=True)
@@ -81,10 +87,35 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         ff = LJmod.single_type(spec.lj_epsilon, spec.lj_sigma, spec.lj_cutoff, n, dtype)
         cutoff = spec.lj_cutoff
         k_max = max(spec.neighbor_k, 64)
+    elif spec.force_field == "opls":
+        from . import data_io
+
+        if spec.data_file:
+            data = data_io.read_data(spec.data_file)
+        else:
+            data = data_io.build_alkane_melt(spec.n_chains, spec.chain_length)
+        ff = data_io.to_opls(
+            data, lj_cutoff=spec.opls_lj_cutoff,
+            use_ewald=spec.use_ewald, dtype=dtype,
+        )
+        n = len(data.pos)
+        cutoff = ff.cutoff
+        k_max = max(spec.neighbor_k, 96)
+        nspec = NB.derive_spec(n, data.box, cutoff=cutoff, skin=1.0, k_max=k_max)
+        sys = E.MDSystem(
+            ff=ff,
+            masses=jnp.asarray(data.masses[data.types], dtype=dtype),
+            nspec=nspec,
+            units=REAL,
+            rebuild_every=spec.rebuild_every,
+        )
+        st = E.init_state(jnp.asarray(data.pos, dtype=dtype),
+                          jnp.asarray(data.box, dtype=dtype))
+        return sys, st
     else:
         raise NotImplementedError(
-            f"force field {spec.force_field!r}: opls arrives with the bonded "
-            "topology module; reax is out of scope (SURVEY.md hard parts)"
+            f"force field {spec.force_field!r} is not implemented "
+            "(reax is out of scope, SURVEY.md hard parts)"
         )
     nspec = NB.derive_spec(n, np.asarray(h), cutoff=cutoff, skin=1.0, k_max=k_max)
     ohspec = None

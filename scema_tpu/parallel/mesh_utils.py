@@ -42,6 +42,36 @@ def pad_to_multiple(x: jax.Array, m: int, axis: int = 0, fill=0):
     return jnp.pad(x, pad, constant_values=fill), n
 
 
+def shard_pairwise_l2(mesh: Mesh, axis: str = "md"):
+    """Sharded pairwise-L2 kernel: the ICI analog of the reference's ring
+    all-to-all strain-history comparison (strain2spline.h:546-614).
+
+    Histories are sharded over qps; each device all_gathers the spline set
+    (one ICI collective — the ring) and computes its row block of the
+    distance matrix.  Returns a function (splines (n, d)) -> (n, n).
+    """
+    n_dev = mesh.shape[axis]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _dist(local):  # (n/n_dev, d)
+        full = jax.lax.all_gather(local, axis, tiled=True)  # (n, d)
+        diff = local[:, None, :] - full[None, :, :]
+        return jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # (n/n_dev, n)
+
+    def wrapped(splines):
+        padded, n = pad_to_multiple(splines, n_dev)
+        out = _dist(padded)
+        return out[:n, :n]
+
+    return wrapped
+
+
 def shard_md_update(md_update_fn, mesh: Mesh, axis: str = "md"):
     """Wrap a dense per-qp md_update_fn so it runs sharded over the mesh.
 

@@ -53,3 +53,16 @@ def test_graft_entry_and_dryrun():
     out_state, out = jax.jit(fn)(*args)
     jax.block_until_ready(out_state)
     ge.dryrun_multichip(8)
+
+
+def test_sharded_pairwise_l2_matches_local():
+    from scema_tpu.parallel.mesh_utils import shard_pairwise_l2
+    from scema_tpu.clustering.similarity import pairwise_l2
+    import numpy as np
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.standard_normal((37, 60)))
+    d_shard = np.asarray(shard_pairwise_l2(mesh)(s))
+    d_local = np.asarray(pairwise_l2(s))
+    assert np.allclose(d_shard, d_local, atol=1e-12)
