@@ -82,6 +82,7 @@ class MDBackend:
     max_jobs: int  # static job-list capacity
     initial_md_state: E.MDState = None  # the equilibrated replica microstate
     device_mesh: object = None  # jax Mesh — shard the job batch over "md"
+    job_chunk: int = 64  # jobs per scan chunk (large fused vmaps fault axon)
 
     def make_update_fn(self):
         """Returns (update_fn, init_micro_carry_handling) for HMMProblem.
@@ -149,7 +150,32 @@ class MDBackend:
                     out_specs=(P("md"),) * 5,
                     check_vma=False,
                 )
-            npos, nvel, nh, nvxi, sigma_rep = run(jpos, jvel, jh, jvxi, dlength)
+
+            # process the job list in fixed-size chunks via lax.scan: the
+            # reference's round-robin batching (stmd_sync.h:583) — and on
+            # the axon backend, very large fused vmaps fault the device
+            ch = min(self.job_chunk, K)
+            if self.device_mesh is not None:
+                n_dev = self.device_mesh.shape["md"]
+                ch = max(ch, n_dev)
+            if K % ch != 0:
+                ch = K  # fall back to one chunk if capacity isn't divisible
+
+            def chunked(arrs):
+                jp, jv, jh_, jx, dl = arrs
+                shape = lambda x: x.reshape((K // ch, ch) + x.shape[1:])
+                scanned = jax.lax.scan(
+                    lambda _, a: (None, run(*a)),
+                    None,
+                    tuple(shape(x) for x in (jp, jv, jh_, jx, dl)),
+                )[1]
+                return tuple(
+                    x.reshape((K,) + x.shape[2:]) for x in scanned
+                )
+
+            npos, nvel, nh, nvxi, sigma_rep = chunked(
+                (jpos, jvel, jh, jvxi, dlength)
+            )
             sigma_rep = sigma_rep.astype(eps_cg.dtype)
 
             # -- replica averaging with init-stress subtraction

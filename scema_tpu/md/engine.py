@@ -349,7 +349,13 @@ def minimize_fire(
             vel = jnp.where(uphill, jnp.zeros_like(vel), vel)
             dt = jnp.where(uphill, dt * 0.5, jnp.minimum(dt * 1.1, fmax_dt))
             alpha = jnp.where(uphill, jnp.asarray(0.1, dt.dtype), alpha * 0.99)
-            pos = st.pos + dt * vel
+            # per-step displacement cap (LAMMPS dmax analog): keeps steep
+            # unequilibrated contacts from launching atoms in float32
+            step_d = dt * vel
+            dmax = 0.1
+            dn = jnp.sqrt(jnp.sum(step_d * step_d, axis=-1, keepdims=True))
+            step_d = step_d * jnp.minimum(1.0, dmax / jnp.maximum(dn, 1e-30))
+            pos = st.pos + step_d
             return (st._replace(pos=pos), dt, alpha, vel)
 
         st, dt, alpha, _ = jax.lax.fori_loop(

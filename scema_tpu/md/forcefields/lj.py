@@ -28,6 +28,9 @@ class LJ:
         r2 = jnp.sum(dr * dr, axis=-1)
         mask = nbr.mask & (r2 < self.cutoff**2)
         r2 = jnp.where(mask, r2, 1.0)  # avoid NaN grads on masked entries
+        # close-range clamp: overlapping beads in unequilibrated inputs
+        # would overflow (sig/r)^12 in float32
+        r2 = jnp.maximum(r2, 0.25)
 
         ti = self.types[:, None]
         tj = self.types[nbr.idx]

@@ -92,6 +92,7 @@ class OPLS:
         # LJ with special weights
         lj_mask = nbr.mask & (r2 < self.lj_cutoff**2)
         r2s = jnp.where(lj_mask, r2, 1.0)
+        r2s = jnp.maximum(r2s, 0.25)  # float32 overflow guard (see lj.py)
         ti = self.types[:, None]
         tj = self.types[nbr.idx]
         eps = self.lj_epsilon[ti, tj]

@@ -152,12 +152,15 @@ def equilibrate(
     """Minimize then thermalize (the in.init.lammps prep, simplified: the
     staged NPT heatup/cooldown cycle becomes FIRE + NVT at the target
     temperature; box stays at the lattice volume)."""
-    state = E.minimize_fire(sys, state, n_steps=minimize_steps, dt0=0.5)
+    state = jax.jit(lambda s: E.minimize_fire(sys, s, n_steps=minimize_steps,
+                                              dt0=0.5))(state)
     vel = E.maxwell_velocities(sys, key, max(params.temperature, 1e-6),
                                dtype=state.pos.dtype)
     state = state._replace(vel=vel)
     if equil_steps > 0:
-        state = E.run_nvt(sys, state, equil_steps, params.temperature, params.dt)
+        state = jax.jit(
+            lambda s: E.run_nvt(sys, s, equil_steps, params.temperature, params.dt)
+        )(state)
     return state
 
 
@@ -196,11 +199,14 @@ def measure(
     """Measure equilibrium box lengths, residual stress, stiffness, density
     (init_material_problem.h:192-295)."""
     L, _ = B.lengths_tilts(state.h)
-    state2, press = E.sample_stress(
-        sys, state, params.nsteps_sample, params.temperature, params.dt
-    )
+    state2, press = jax.jit(
+        lambda s: E.sample_stress(sys, s, params.nsteps_sample,
+                                  params.temperature, params.dt)
+    )(state)
     stress = -press * ATM_TO_PA
-    C = stiffness_probe(sys, state2, params, thermal=thermal_stiffness)
+    C = jax.jit(
+        lambda s: stiffness_probe(sys, s, params, thermal=thermal_stiffness)
+    )(state2)
     vol = float(B.volume(state.h))
     density = float(jnp.sum(sys.masses)) * DENSITY_CONV / vol
     return InitData(
