@@ -183,10 +183,18 @@ class MDBackend:
                 self.ensemble, sigma_rep, mat_job, subtract_init_stress=True
             )  # (K, 6)
 
-            # -- scatter back: stresses dense over qps, microstates updated
+            # -- scatter back: stresses dense over qps, microstates updated;
+            # has_result records which qps actually received MD stresses
+            # (job capacity may be smaller than the flagged count)
             update_stress_cg = jnp.zeros((n_qp, 6), dtype=eps_cg.dtype)
             update_stress_cg = update_stress_cg.at[job_idx].set(
                 jnp.where(slot_valid[:, None], upd, update_stress_cg[job_idx])
+            )
+            has_result = (
+                jnp.zeros((n_qp,), dtype=jnp.int32)
+                .at[job_idx]
+                .add(slot_valid.astype(jnp.int32))
+                > 0
             )
 
             def scat(old, new):
@@ -198,14 +206,15 @@ class MDBackend:
                     )
                 )
 
+            ran = jobs & has_result
             micro = MicroStates(
                 pos=scat(micro.pos, npos),
                 vel=scat(micro.vel, nvel),
                 h=scat(micro.h, nh),
                 vxi=scat(micro.vxi, nvxi),
-                has_run=micro.has_run | jobs,
+                has_run=micro.has_run | ran,
             )
-            return micro, update_stress_cg
+            return micro, update_stress_cg, has_result
 
         return update_fn
 
@@ -253,12 +262,16 @@ class MDHMMProblem:
         jobs = bridge.job_mask(out.flags, id_to_get)
 
         update_fn = self.backend.make_update_fn()
-        micro, update_stress_cg = update_fn(
+        micro, update_stress_cg, has_result = update_fn(
             micro, out.update_strain_cg, out.material, jobs, out.most_recent_id
         )
 
+        # a flagged qp whose (possibly deduplicated) source didn't fit the
+        # job capacity falls back to the tangent update this step — never a
+        # zeroed stress
+        updated = out.flags & has_result[id_to_get]
         fe_state, res1 = FE.apply_stress_update(
-            ops, fe_state, out.flags, update_stress_cg, id_to_get
+            ops, fe_state, updated, update_stress_cg, id_to_get
         )
         from ..fem import assembly
 

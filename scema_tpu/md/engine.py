@@ -51,6 +51,7 @@ class MDSystem:
     tdamp: float = 100.0  # thermostat damping, time units (fix nvt ... 100.0)
     grid: object = None  # grid.GridSpec — use the gather-free cell grid
     onehot: object = None  # neighbor_onehot.OneHotSpec — MXU one-hot gather
+    constraints: object = None  # constraints.Constraints — SHAKE/RATTLE
 
     @property
     def n_atoms(self) -> int:
@@ -178,7 +179,12 @@ def _nhc_half(sys: MDSystem, vel, vxi, T: float, dt: float):
 
 
 def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt, thermostat=True):
-    """One velocity-Verlet step (optionally NVT); returns (state, F_new)."""
+    """One velocity-Verlet step (optionally NVT); returns (state, F_new).
+
+    With sys.constraints set, SHAKE corrects positions after the drift and
+    RATTLE removes along-bond velocity components after the second kick
+    (the reference's fix shake, in.strain.lammps).
+    """
     u = sys.units
     minv = (u.ftm2v / sys.masses)[:, None]
     vel, vxi = state.vel, state.vxi
@@ -186,8 +192,17 @@ def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt, thermostat=True):
         vel, vxi = _nhc_half(sys, vel, vxi, T, dt)
     vel = vel + 0.5 * dt * F * minv
     pos = state.pos + dt * vel
+    if sys.constraints is not None:
+        from . import constraints as CN
+
+        inv_m = 1.0 / sys.masses
+        pos_c = CN.shake_positions(sys.constraints, state.pos, pos, state.h, inv_m)
+        vel = vel + (pos_c - pos) / dt  # constraint impulse on velocities
+        pos = pos_c
     F_new = forces(sys, pos, state.h, nbr)
     vel = vel + 0.5 * dt * F_new * minv
+    if sys.constraints is not None:
+        vel = CN.rattle_velocities(sys.constraints, pos, vel, state.h, 1.0 / sys.masses)
     if thermostat:
         vel, vxi = _nhc_half(sys, vel, vxi, T, dt)
     return state._replace(pos=pos, vel=vel, vxi=vxi), F_new
