@@ -225,6 +225,12 @@ def cmd_strain_md(args) -> int:
 
         save_checkpoint(args.save_state, st)
         print(f"microstate saved to {args.save_state}")
+    if args.dump:
+        import numpy as np
+        from .md.data_io import write_lammpstrj
+
+        write_lammpstrj(args.dump, np.asarray(st.pos), np.asarray(st.h))
+        print(f"trajectory frame written to {args.dump}")
     return 0
 
 
@@ -301,6 +307,7 @@ def main(argv=None) -> int:
     ps.add_argument("--minimize-steps", type=int, default=100)
     ps.add_argument("--equil-steps", type=int, default=100)
     ps.add_argument("--save-state", default="")
+    ps.add_argument("--dump", default="", help="write a .lammpstrj frame")
     ps.add_argument("--cpu", action="store_true")
     ps.set_defaults(fn=cmd_strain_md)
 

@@ -91,12 +91,19 @@ class MDBackend:
             -> (micro', update_stress_cg)
         """
 
-        def update_fn(micro: MicroStates, eps_cg, material, jobs, most_recent_id):
+        def update_fn(micro: MicroStates, eps_cg, material, jobs, most_recent_id,
+                      timestep=0):
             n_qp = eps_cg.shape[0]
             K = self.max_jobs
 
             # -- job packing (write_md_updates_list + prepare_md_simulations)
-            job_idx = jnp.nonzero(jobs, size=K, fill_value=0)[0]
+            # rotate the selection window by timestep so a capacity smaller
+            # than the flagged count round-robins over qps instead of
+            # starving high indices (flags are sticky)
+            offset = (jnp.asarray(timestep, jnp.int32) * K) % n_qp
+            rolled = jnp.roll(jobs, -offset)
+            idx_r = jnp.nonzero(rolled, size=K, fill_value=0)[0]
+            job_idx = (idx_r + offset) % n_qp
             slot_valid = jnp.arange(K) < jnp.sum(jobs)
 
             # microstate source: own if it has run, else borrowed from
@@ -158,8 +165,8 @@ class MDBackend:
             if self.device_mesh is not None:
                 n_dev = self.device_mesh.shape["md"]
                 ch = max(ch, n_dev)
-            if K % ch != 0:
-                ch = K  # fall back to one chunk if capacity isn't divisible
+            while K % ch != 0:  # largest divisor of K not exceeding job_chunk
+                ch -= 1
 
             def chunked(arrs):
                 jp, jv, jh_, jx, dl = arrs
@@ -263,7 +270,8 @@ class MDHMMProblem:
 
         update_fn = self.backend.make_update_fn()
         micro, update_stress_cg, has_result = update_fn(
-            micro, out.update_strain_cg, out.material, jobs, out.most_recent_id
+            micro, out.update_strain_cg, out.material, jobs, out.most_recent_id,
+            timestep=fe_state.timestep,
         )
 
         # a flagged qp whose (possibly deduplicated) source didn't fit the
@@ -371,7 +379,13 @@ def build_md_hmm(
         cfg=cfg, problem=problem, geom=geom, ops=ops, ensemble=ens,
         md_update_fn=None, dtype=dtype,
     )
-    max_jobs = min(cfg.resources.max_md_jobs or geom.n_qp_total, geom.n_qp_total)
+    # auto capacity: bounded at 256 concurrent jobs — flagged qps beyond it
+    # take the tangent fallback this step and (flags are sticky) get MD on
+    # a following step; explicit 'maximum md jobs' overrides.  This bounds
+    # per-step cost like the reference's PJM node budget (P8), and very
+    # large fused MD programs fault the axon TPU backend beyond ~256 lanes.
+    auto = min(geom.n_qp_total, 256)
+    max_jobs = min(cfg.resources.max_md_jobs or auto, geom.n_qp_total)
     if device_mesh is not None:
         n_dev = device_mesh.shape["md"]
         max_jobs = ((max_jobs + n_dev - 1) // n_dev) * n_dev

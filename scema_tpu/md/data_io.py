@@ -264,6 +264,32 @@ def build_alkane_melt(
     )
 
 
+def write_lammpstrj(path: str, pos, h, types=None, timestep: int = 0,
+                    append: bool = False) -> None:
+    """LAMMPS trajectory frame (the reference's optional homogenization
+    dumps, stmd_problem.h:313-317) — readable by OVITO/VMD."""
+    pos = np.asarray(pos)
+    h = np.asarray(h)
+    n = len(pos)
+    if types is None:
+        types = np.ones(n, dtype=int)
+    mode = "a" if append else "w"
+    with open(path, mode) as f:
+        f.write("ITEM: TIMESTEP\n%d\n" % timestep)
+        f.write("ITEM: NUMBER OF ATOMS\n%d\n" % n)
+        f.write("ITEM: BOX BOUNDS xy xz yz pp pp pp\n")
+        xy, xz, yz = h[0, 1], h[0, 2], h[1, 2]
+        xlo = min(0.0, xy, xz, xy + xz)
+        xhi = h[0, 0] + max(0.0, xy, xz, xy + xz)
+        f.write(f"{xlo:.8g} {xhi:.8g} {xy:.8g}\n")
+        f.write(f"{min(0.0, yz):.8g} {h[1, 1] + max(0.0, yz):.8g} {xz:.8g}\n")
+        f.write(f"0.0 {h[2, 2]:.8g} {yz:.8g}\n")
+        f.write("ITEM: ATOMS id type x y z\n")
+        for i in range(n):
+            f.write(f"{i + 1} {int(types[i]) + 1} "
+                    f"{pos[i, 0]:.8g} {pos[i, 1]:.8g} {pos[i, 2]:.8g}\n")
+
+
 def to_opls(data: MolecularData, lj_cutoff: float = 12.0, coul_cutoff: float = 9.0,
             use_ewald: bool = True, dtype=None):
     """Build an OPLS force field + MDSystem inputs from MolecularData."""
