@@ -228,10 +228,15 @@ class MDBackend:
 
 @dataclass(frozen=True)
 class MDHMMProblem:
-    """HMM coupled to the real MD backend; state = (FEState, MicroStates)."""
+    """HMM coupled to the real MD backends (one per material);
+    state = (FEState, tuple[MicroStates, ...])."""
 
     base: HMMProblem
-    backend: MDBackend
+    backends: tuple  # tuple[MDBackend, ...], indexed by material
+
+    @property
+    def backend(self) -> MDBackend:  # single-material convenience
+        return self.backends[0]
 
     @property
     def geom(self):
@@ -243,15 +248,16 @@ class MDHMMProblem:
 
     def init_state(self):
         fe = self.base.init_state()
-        sys_state = self._fresh_micro()
-        return fe, sys_state
+        return fe, self._fresh_micro()
 
-    def _fresh_micro(self) -> MicroStates:
-        st = self.backend.initial_md_state
-        return broadcast_micro(st, self.geom.n_qp_total, self.backend.n_repl)
+    def _fresh_micro(self) -> tuple:
+        return tuple(
+            broadcast_micro(be.initial_md_state, self.geom.n_qp_total, be.n_repl)
+            for be in self.backends
+        )
 
     def step(self, carry):
-        fe_state, micro = carry
+        fe_state, micros = carry
         ops = self.base.ops
         fe_state = FE.begin_step(ops, fe_state)
         fe_state, out = FE.solve(ops, fe_state)
@@ -268,11 +274,25 @@ class MDHMMProblem:
         )
         jobs = bridge.job_mask(out.flags, id_to_get)
 
-        update_fn = self.backend.make_update_fn()
-        micro, update_stress_cg, has_result = update_fn(
-            micro, out.update_strain_cg, out.material, jobs, out.most_recent_id,
-            timestep=fe_state.timestep,
-        )
+        # per-material MD fleets (materials may have different box sizes,
+        # so each keeps its own MicroStates pytree; job masks are disjoint)
+        n_qp = out.flags.shape[0]
+        update_stress_cg = jnp.zeros((n_qp, 6), dtype=out.update_strain_cg.dtype)
+        has_result = jnp.zeros((n_qp,), dtype=bool)
+        new_micros = []
+        for m, be in enumerate(self.backends):
+            jobs_m = jobs & (out.material == m)
+            update_fn = be.make_update_fn()
+            micro_m, upd_m, hr_m = update_fn(
+                micros[m], out.update_strain_cg,
+                jnp.zeros_like(out.material),  # local material index
+                jobs_m, out.most_recent_id,
+                timestep=fe_state.timestep,
+            )
+            new_micros.append(micro_m)
+            update_stress_cg = update_stress_cg + upd_m
+            has_result = has_result | hr_m
+        micro = tuple(new_micros)
 
         # a flagged qp whose (possibly deduplicated) source didn't fit the
         # job capacity falls back to the tangent update this step — never a
@@ -302,6 +322,7 @@ class MDHMMProblem:
 def build_md_hmm(
     cfg: HMMConfig,
     spec: M.MaterialSpec | None = None,
+    specs: list | None = None,
     equil_steps: int = 100,
     minimize_steps: int = 100,
     device_mesh=None,
@@ -311,23 +332,29 @@ def build_md_hmm(
     Runs material initialization (equilibrate + measure) on device first —
     the reference requires a separate ``init_material`` run producing
     nanoscale_input files (dealammps.cc:507 ordering constraint); here it
-    is one call.
+    is one call.  One MD backend per material (different box sizes are
+    fine); ``spec``/``specs`` override the per-material MaterialSpec.
     """
-    import numpy as np
-
     dtype = jnp.dtype(cfg.dtype)
     md_dtype = jnp.dtype(cfg.md_dtype)
-    if len(cfg.material.materials) != 1:
-        raise NotImplementedError("MD backend currently supports one material")
     n_repl = cfg.material.number_of_replicas
+    materials = list(cfg.material.materials)
 
-    if spec is None:
-        ff = cfg.md.force_field
-        if "sisw" in cfg.md.scripts_directory:
-            # the shipped example declares 'opls' but points at the
-            # Stillinger-Weber script set (examples/.../inputs.json quirk)
-            ff = "sw"
-        spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff)
+    ff = cfg.md.force_field
+    if "sisw" in cfg.md.scripts_directory:
+        # the shipped example declares 'opls' but points at the
+        # Stillinger-Weber script set (examples/.../inputs.json quirk)
+        ff = "sw"
+    if specs is None:
+        if spec is not None:
+            specs = [
+                M.MaterialSpec(
+                    **{**spec.__dict__, "name": name}
+                ) for name in materials
+            ] if len(materials) > 1 else [spec]
+        else:
+            specs = [M.MaterialSpec(name=name, force_field=ff) for name in materials]
+    assert len(specs) == len(materials)
 
     params = MDParams(
         temperature=cfg.md.temperature,
@@ -336,48 +363,9 @@ def build_md_hmm(
         nsteps_sample=cfg.md.nsteps_sample,
     )
 
-    # material initialization (init_material equivalent): each replica is
-    # equilibrated with its own thermal seed and measured independently
-    # (the reference's per-replica init.<mat>_<r>.* data,
-    # init_material_sync/problem.h)
-    sys, st_init = M.build_system(spec, dtype=md_dtype)
-    rep_states = []
-    rep_data = []
-    for r in range(n_repl):
-        key = jax.random.PRNGKey(cfg.seed + r)
-        st_r = M.equilibrate(sys, st_init, params, key,
-                             minimize_steps=minimize_steps,
-                             equil_steps=equil_steps)
-        rep_states.append(st_r)
-        rep_data.append(M.measure(sys, st_r, params))
-    st0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rep_states)
-    data = rep_data[0]
-
-    ens = bridge.ReplicaEnsemble(
-        rotam=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (1, n_repl, 3, 3)),
-        init_length=jnp.stack([jnp.asarray(d.length, dtype=dtype) for d in rep_data])[None],
-        init_stress=jnp.stack([jnp.asarray(d.stress, dtype=dtype) for d in rep_data])[None],
-        init_stiff=jnp.stack([jnp.asarray(d.stiff, dtype=dtype) for d in rep_data])[None],
-        rho=jnp.asarray([[d.density for d in rep_data]], dtype=dtype),
-    )
-
     problem = make_problem(cfg, dtype)
     geom = shapes.precompute_geometry(
         problem.mesh.nodes, problem.mesh.cells, cfg.mesh.quadrature_formula, dtype=dtype
-    )
-    mat = assign_materials(cfg, geom, dtype)
-    stiff_cg, rho = bridge.average_replica_data(ens)
-    qp = init_qp_state(geom.n_qp_total, mat, rho, stiff_cg, dtype=dtype)
-    ops = FE.make_ops(
-        geom, problem, qp,
-        cfg.time.timestep_length,
-        cfg.bridging.stress_method,
-        False,
-        cfg.precision.min_quadrature_strain_norm,
-    )
-    base = HMMProblem(
-        cfg=cfg, problem=problem, geom=geom, ops=ops, ensemble=ens,
-        md_update_fn=None, dtype=dtype,
     )
     # auto capacity: bounded at 256 concurrent jobs — flagged qps beyond it
     # take the tangent fallback this step and (flags are sticky) get MD on
@@ -389,10 +377,55 @@ def build_md_hmm(
     if device_mesh is not None:
         n_dev = device_mesh.shape["md"]
         max_jobs = ((max_jobs + n_dev - 1) // n_dev) * n_dev
-    backend = MDBackend(
-        sys=sys, params=params, ensemble=ens, n_repl=n_repl,
-        max_jobs=max_jobs,
-        initial_md_state=st0,
-        device_mesh=device_mesh,
+
+    # material initialization (init_material equivalent): each material x
+    # replica equilibrated with its own thermal seed and measured
+    # independently (init_material_sync/problem.h per-replica data)
+    backends = []
+    stiff_rows, rho_rows = [], []
+    for mi, mspec in enumerate(specs):
+        sys, st_init = M.build_system(mspec, dtype=md_dtype)
+        rep_states, rep_data = [], []
+        for r in range(n_repl):
+            key = jax.random.PRNGKey(cfg.seed + 101 * mi + r)
+            st_r = M.equilibrate(sys, st_init, params, key,
+                                 minimize_steps=minimize_steps,
+                                 equil_steps=equil_steps)
+            rep_states.append(st_r)
+            rep_data.append(M.measure(sys, st_r, params))
+        st0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rep_states)
+
+        ens = bridge.ReplicaEnsemble(
+            rotam=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (1, n_repl, 3, 3)),
+            init_length=jnp.stack(
+                [jnp.asarray(d.length, dtype=dtype) for d in rep_data])[None],
+            init_stress=jnp.stack(
+                [jnp.asarray(d.stress, dtype=dtype) for d in rep_data])[None],
+            init_stiff=jnp.stack(
+                [jnp.asarray(d.stiff, dtype=dtype) for d in rep_data])[None],
+            rho=jnp.asarray([[d.density for d in rep_data]], dtype=dtype),
+        )
+        backends.append(MDBackend(
+            sys=sys, params=params, ensemble=ens, n_repl=n_repl,
+            max_jobs=max_jobs, initial_md_state=st0, device_mesh=device_mesh,
+        ))
+        sc, rc = bridge.average_replica_data(ens)
+        stiff_rows.append(sc[0])
+        rho_rows.append(rc[0])
+
+    stiff_cg = jnp.stack(stiff_rows)  # (n_mat, 6, 6)
+    rho = jnp.stack(rho_rows)  # (n_mat,)
+    mat = assign_materials(cfg, geom, dtype)
+    qp = init_qp_state(geom.n_qp_total, mat, rho, stiff_cg, dtype=dtype)
+    ops = FE.make_ops(
+        geom, problem, qp,
+        cfg.time.timestep_length,
+        cfg.bridging.stress_method,
+        False,
+        cfg.precision.min_quadrature_strain_norm,
     )
-    return MDHMMProblem(base=base, backend=backend)
+    base = HMMProblem(
+        cfg=cfg, problem=problem, geom=geom, ops=ops,
+        ensemble=backends[0].ensemble, md_update_fn=None, dtype=dtype,
+    )
+    return MDHMMProblem(base=base, backends=tuple(backends))

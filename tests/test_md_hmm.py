@@ -80,7 +80,7 @@ def test_md_hmm_streched_polyhedron_equivalent():
     step = jax.jit(hmm.step)
     for _ in range(2):
         carry, out = step(carry)
-    fe, micro = carry
+    fe, (micro,) = carry
 
     # documented milestone: max displacement 0.32 mm at timestep 2
     u = np.asarray(fe.u).reshape(-1, 3)
@@ -113,10 +113,10 @@ def test_md_microstate_persistence():
     # in the top cell (eps_zz ~ strain_rate * Lz / cell_height = 0.004)
     q = hmm.geom.n_qp_total - 1
     carry, _ = step(carry)
-    _, micro1 = carry
+    _, (micro1,) = carry
     lz1 = float(np.asarray(micro1.h)[q, 0, 2, 2])
     carry, _ = step(carry)
-    _, micro2 = carry
+    _, (micro2,) = carry
     lz2 = float(np.asarray(micro2.h)[q, 0, 2, 2])
     # each step strains the persistent box further
     assert lz1 > L0 * 1.001

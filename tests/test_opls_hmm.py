@@ -52,7 +52,7 @@ def test_opls_dogbone_hmm_step():
     hmm = build_md_hmm(cfg, spec=SPEC, equil_steps=30, minimize_steps=80)
     carry = hmm.init_state()
     carry, out = jax.jit(hmm.step)(carry)
-    fe, micro = carry
+    fe, (micro,) = carry
     assert int(out.n_jobs) == hmm.geom.n_qp_total
     sig = np.asarray(fe.qp.new_stress)
     assert np.isfinite(sig).all()
