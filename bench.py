@@ -66,7 +66,8 @@ def bench_md_throughput():
 
     n_jobs = 16
     spec = M.MaterialSpec(name="sic", force_field="sw", n_cells=6,
-                          rebuild_every=25)
+                          rebuild_every=50)  # skin 1.0 A supports 50 steps
+                                             # of solid-state vibration
     sys_, st0 = M.build_system(spec, dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
     st0 = st0._replace(vel=E.maxwell_velocities(sys_, key, 300.0, dtype=jnp.float32))
