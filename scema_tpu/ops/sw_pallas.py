@@ -1,0 +1,171 @@
+"""Pallas TPU kernel prototype: fused Stillinger-Weber energy + 3-body
+moments over 128-atom tile pairs.
+
+This is the round-2 performance centerpiece (PLAN_NEXT.md) in prototype
+form: all pair math fused in VMEM — no HBM temporaries, no gathers.  Atoms
+are spatially sorted (neighbor_onehot.spatial_sort) so tiles are compact
+bricks; for boxes under ~4k atoms every tile pair runs (O(N^2) tiles); for
+larger boxes the same kernel takes a per-tile neighbor-tile list.
+
+The kernel emits, per atom: the two-body energy row sum and the 3-body
+moment set (s, gsq, m(3), Q(6)) — 11 channels.  The three-body energy
+follows from the exact moment reduction (forcefields/sw.py).  Forward
+only for now; the backward (force) kernel lands with custom_vjp in
+round 2 — this prototype exists to pin the achievable step time.
+
+Layout: positions as (T, 8, 128) tiles — sublanes [x, y, z, occ, 0...],
+lanes = atoms.  Output moments (T, 16, 128) (11 used, padded to 16
+sublanes).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+NCHAN = 16  # output channels (sublane-padded)
+
+
+def pack_tiles(pos: jax.Array, n_valid: int) -> jax.Array:
+    """(N, 3) -> (T, 8, 128) tile layout with occupancy channel."""
+    n = pos.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    x = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    occ = (jnp.arange(n_pad) < n_valid).astype(pos.dtype)
+    rows = jnp.concatenate([x.T, occ[None, :]], axis=0)  # (4, n_pad)
+    rows = jnp.pad(rows, ((0, 8 - rows.shape[0]), (0, 0)))  # (8, n_pad)
+    return rows.reshape(8, n_pad // TILE, TILE).transpose(1, 0, 2)
+
+
+def _sw_kernel(params_ref, hrow_ref, a_ref, b_ref, out_ref):
+    """Tile-pair program: centers = tile i (lanes), neighbors = tile j."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    (eps, sig, a_cut, lam, gam, c0, A, B_, p_, q_) = [
+        params_ref[0, k] for k in range(10)
+    ]
+    rc = a_cut * sig
+    # orthorhombic box rows (Lx, Ly, Lz) — triclinic arrives in round 2
+    Lx, Ly, Lz = hrow_ref[0, 0], hrow_ref[0, 1], hrow_ref[0, 2]
+
+    ax, ay, az, aocc = (a_ref[0, 0, :], a_ref[0, 1, :], a_ref[0, 2, :],
+                        a_ref[0, 3, :])
+    bx, by, bz, bocc = (b_ref[0, 0, :], b_ref[0, 1, :], b_ref[0, 2, :],
+                        b_ref[0, 3, :])
+
+    # pair displacements (centers i = sublane axis, neighbors j = lane axis)
+    def mi(d, L):
+        return d - L * jnp.round(d / L)
+
+    dx = mi(bx[None, :] - ax[:, None], Lx)
+    dy = mi(by[None, :] - ay[:, None], Ly)
+    dz = mi(bz[None, :] - az[:, None], Lz)
+    r2 = dx * dx + dy * dy + dz * dz
+
+    same_tile = pl.program_id(0) == j
+    eye = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) == (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    )
+    mask = (
+        (aocc[:, None] > 0.5)
+        & (bocc[None, :] > 0.5)
+        & (r2 < (rc - 1e-6) ** 2)
+        & ~(same_tile & eye)
+    )
+    r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+
+    sr = sig / r
+    sr2 = sr * sr
+    srp = sr2 * sr2  # p = 4 for Si; general p via exp/log avoided
+    expo = jnp.exp(sig / jnp.where(mask, r - rc, -1.0))
+    e2 = jnp.where(mask, A * eps * (B_ * srp - 1.0 * (sr**q_)) * expo, 0.0)
+
+    g = jnp.where(mask, jnp.exp(gam * sig / jnp.where(mask, r - rc, -1.0)), 0.0)
+    ux, uy, uz = dx / r, dy / r, dz / r
+    gux, guy, guz = g * ux, g * uy, g * uz
+
+    # per-center (sublane-axis) reductions over neighbors (lane axis)
+    def rs(v):
+        return jnp.sum(v, axis=1)
+
+    acc = jnp.stack(
+        [
+            0.5 * rs(e2),  # 0: half two-body
+            rs(g),  # 1: s
+            rs(g * g),  # 2: gsq
+            rs(gux), rs(guy), rs(guz),  # 3-5: m
+            rs(gux * ux), rs(guy * uy), rs(guz * uz),  # 6-8: Q diag
+            rs(gux * uy), rs(gux * uz), rs(guy * uz),  # 9-11: Q offdiag
+        ],
+        axis=0,
+    )  # (12, TILE)
+    acc = jnp.pad(acc, ((0, NCHAN - acc.shape[0]), (0, 0)))[None]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + acc
+
+
+def sw_moments_pallas(sw, pos: jax.Array, h: jax.Array, n_valid: int,
+                      interpret: bool = False) -> jax.Array:
+    """All-tile-pairs SW pass: returns per-atom channels (N_pad_channels).
+
+    Output (T, NCHAN, TILE): [e2_half, s, gsq, m(3), Qxx, Qyy, Qzz,
+    Qxy, Qxz, Qyz] per atom.
+    """
+    tiles = pack_tiles(pos, n_valid)  # (T, 8, 128)
+    T = tiles.shape[0]
+    params = jnp.asarray(
+        [[sw.epsilon, sw.sigma, sw.a, sw.lam, sw.gamma, sw.costheta0,
+          sw.A, sw.B, sw.p, sw.q, 0.0, 0.0]],
+        dtype=pos.dtype,
+    )
+    hrow = jnp.asarray([[h[0, 0], h[1, 1], h[2, 2], 0.0]], dtype=pos.dtype)
+
+    out = pl.pallas_call(
+        _sw_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, NCHAN, TILE), pos.dtype),
+        grid=(T, T),
+        in_specs=[
+            pl.BlockSpec((1, 12), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, TILE), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NCHAN, TILE), lambda i, j: (i, 0, 0)),
+        interpret=interpret,
+    )(params, hrow, tiles, tiles)
+    return out
+
+
+def sw_energy_from_moments(sw, moments: jax.Array) -> jax.Array:
+    """Total SW energy from the kernel's per-atom channels."""
+    T = moments.shape[0]
+    ch = moments.reshape(T, NCHAN, TILE)
+    e2 = jnp.sum(ch[:, 0])
+    s = ch[:, 1]
+    gsq = ch[:, 2]
+    m2 = ch[:, 3] ** 2 + ch[:, 4] ** 2 + ch[:, 5] ** 2
+    trq2 = (
+        ch[:, 6] ** 2 + ch[:, 7] ** 2 + ch[:, 8] ** 2
+        + 2.0 * (ch[:, 9] ** 2 + ch[:, 10] ** 2 + ch[:, 11] ** 2)
+    )
+    c0 = sw.costheta0
+    e3_atom = (trq2 - gsq) - 2.0 * c0 * (m2 - gsq) + c0 * c0 * (s * s - gsq)
+    return e2 + 0.5 * sw.lam * sw.epsilon * jnp.sum(e3_atom)
+
+
+def sw_energy_pallas(sw, pos, h, n_valid=None, interpret=False):
+    if n_valid is None:
+        n_valid = pos.shape[0]
+    return sw_energy_from_moments(
+        sw, sw_moments_pallas(sw, pos, h, n_valid, interpret=interpret)
+    )
