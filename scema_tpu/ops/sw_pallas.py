@@ -169,3 +169,155 @@ def sw_energy_pallas(sw, pos, h, n_valid=None, interpret=False):
     return sw_energy_from_moments(
         sw, sw_moments_pallas(sw, pos, h, n_valid, interpret=interpret)
     )
+
+
+# --------------------------------------------------------------------------
+# Tile-adjacency variant: grid (T, MAXNB) with the neighbor-tile id list
+# scalar-prefetched, so only spatially adjacent tile pairs are computed —
+# the production path for boxes beyond a few thousand atoms.
+
+
+def tile_adjacency(pos: np.ndarray, h: np.ndarray, cutoff: float,
+                   skin: float = 1.0, max_nb: int | None = None):
+    """Neighbor-tile lists from tile bounding spheres (host, at rebuild).
+
+    Row k=0 is always the tile itself; invalid slots repeat self with
+    valid=0.  Returns (nbr (T, MAXNB) int32, valid (T, MAXNB) int32).
+    """
+    pos = np.asarray(pos)
+    n = len(pos)
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    x = np.concatenate([pos, np.repeat(pos[-1:], n_pad - n, axis=0)], axis=0)
+    tiles = x.reshape(-1, TILE, 3)
+    centers = tiles.mean(axis=1)
+    radii = np.linalg.norm(tiles - centers[:, None, :], axis=-1).max(axis=1)
+    L = np.array([h[0, 0], h[1, 1], h[2, 2]])
+    d = centers[:, None, :] - centers[None, :, :]
+    d -= np.round(d / L) * L
+    dist = np.linalg.norm(d, axis=-1)
+    reach = radii[:, None] + radii[None, :] + cutoff + skin
+    adj = dist < reach
+    T = len(centers)
+    counts = adj.sum(axis=1)
+    if max_nb is None:
+        max_nb = int(counts.max())
+    nbr = np.zeros((T, max_nb), dtype=np.int32)
+    valid = np.zeros((T, max_nb), dtype=np.int32)
+    for i in range(T):
+        lst = [i] + [j for j in np.where(adj[i])[0] if j != i]
+        lst = lst[:max_nb]
+        nbr[i, : len(lst)] = lst
+        nbr[i, len(lst):] = i
+        valid[i, : len(lst)] = 1
+    return nbr, valid
+
+
+def _sw_kernel_adj(nbr_ref, val_ref, params_ref, hrow_ref, a_ref, b_ref, out_ref):
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(val_ref[i, k] == 1)
+    def _():
+        (eps, sig, a_cut, lam, gam, c0, A, B_, p_, q_) = [
+            params_ref[0, kk] for kk in range(10)
+        ]
+        rc = a_cut * sig
+        Lx, Ly, Lz = hrow_ref[0, 0], hrow_ref[0, 1], hrow_ref[0, 2]
+        ax, ay, az, aocc = (a_ref[0, 0, :], a_ref[0, 1, :], a_ref[0, 2, :],
+                            a_ref[0, 3, :])
+        bx, by, bz, bocc = (b_ref[0, 0, :], b_ref[0, 1, :], b_ref[0, 2, :],
+                            b_ref[0, 3, :])
+
+        def mi(dv, L):
+            return dv - L * jnp.round(dv / L)
+
+        dx = mi(bx[None, :] - ax[:, None], Lx)
+        dy = mi(by[None, :] - ay[:, None], Ly)
+        dz = mi(bz[None, :] - az[:, None], Lz)
+        r2 = dx * dx + dy * dy + dz * dz
+        same_tile = nbr_ref[i, k] == i
+        eye = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) == (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        )
+        mask = (
+            (aocc[:, None] > 0.5)
+            & (bocc[None, :] > 0.5)
+            & (r2 < (rc - 1e-6) ** 2)
+            & ~(same_tile & eye)
+        )
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        sr = sig / r
+        sr2 = sr * sr
+        srp = sr2 * sr2
+        expo = jnp.exp(sig / jnp.where(mask, r - rc, -1.0))
+        e2 = jnp.where(mask, A * eps * (B_ * srp - 1.0) * expo, 0.0)
+        g = jnp.where(mask, jnp.exp(gam * sig / jnp.where(mask, r - rc, -1.0)), 0.0)
+        ux, uy, uz = dx / r, dy / r, dz / r
+        gux, guy, guz = g * ux, g * uy, g * uz
+
+        def rs(v):
+            return jnp.sum(v, axis=1)
+
+        acc = jnp.stack(
+            [
+                0.5 * rs(e2), rs(g), rs(g * g),
+                rs(gux), rs(guy), rs(guz),
+                rs(gux * ux), rs(guy * uy), rs(guz * uz),
+                rs(gux * uy), rs(gux * uz), rs(guy * uz),
+            ],
+            axis=0,
+        )
+        acc = jnp.pad(acc, ((0, NCHAN - acc.shape[0]), (0, 0)))[None]
+        out_ref[:] = out_ref[:] + acc
+
+
+def sw_moments_pallas_adj(sw, pos, h, nbr, valid, n_valid=None,
+                          interpret=False):
+    """Adjacency-subsetted SW pass (q=0 force fields, e.g. Si).
+
+    nbr/valid: (T, MAXNB) from tile_adjacency.
+    """
+    if n_valid is None:
+        n_valid = pos.shape[0]
+    tiles = pack_tiles(pos, n_valid)
+    T = tiles.shape[0]
+    max_nb = nbr.shape[1]
+    params = jnp.asarray(
+        [[sw.epsilon, sw.sigma, sw.a, sw.lam, sw.gamma, sw.costheta0,
+          sw.A, sw.B, sw.p, sw.q, 0.0, 0.0]],
+        dtype=pos.dtype,
+    )
+    hrow = jnp.asarray([[h[0, 0], h[1, 1], h[2, 2], 0.0]], dtype=pos.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, max_nb),
+        in_specs=[
+            pl.BlockSpec((1, 12), lambda i, k, nbr_r, val_r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, k, nbr_r, val_r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, TILE), lambda i, k, nbr_r, val_r: (i, 0, 0)),
+            pl.BlockSpec((1, 8, TILE),
+                         lambda i, k, nbr_r, val_r: (nbr_r[i, k], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NCHAN, TILE),
+                               lambda i, k, nbr_r, val_r: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _sw_kernel_adj,
+        out_shape=jax.ShapeDtypeStruct((T, NCHAN, TILE), pos.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(nbr), jnp.asarray(valid), params, hrow, tiles, tiles)
+    return out
+
+
+def sw_energy_pallas_adj(sw, pos, h, nbr, valid, interpret=False):
+    return sw_energy_from_moments(
+        sw, sw_moments_pallas_adj(sw, pos, h, nbr, valid, interpret=interpret)
+    )

@@ -19,3 +19,21 @@ def test_sw_pallas_energy_matches_reference_path():
         e_ref = float(sw.energy(posj, hj, nl))
         e_pal = float(sw_energy_pallas(sw, posj, hj, interpret=True))
         assert np.isclose(e_pal, e_ref, rtol=1e-12), (n_cells, jiggle)
+
+
+def test_sw_pallas_adjacency_matches_allpairs():
+    import numpy as np
+    from scema_tpu.md.neighbor_onehot import spatial_sort
+    from scema_tpu.ops.sw_pallas import sw_energy_pallas_adj, tile_adjacency
+
+    sw = SWmod.SI
+    pos, h = lattice.diamond(5.431, 3, 3, 3)
+    rng = np.random.default_rng(0)
+    pos = pos + 0.05 * rng.standard_normal(pos.shape)
+    density = len(pos) / np.prod(np.diag(h))
+    pos = pos[spatial_sort(pos, h, brick=(128 / density) ** (1 / 3))]
+    posj, hj = jnp.asarray(pos), jnp.asarray(h)
+    nbr, valid = tile_adjacency(pos, h, sw.cutoff, skin=1.0)
+    e_all = float(sw_energy_pallas(sw, posj, hj, interpret=True))
+    e_adj = float(sw_energy_pallas_adj(sw, posj, hj, nbr, valid, interpret=True))
+    assert np.isclose(e_adj, e_all, rtol=1e-12)
