@@ -321,3 +321,131 @@ def sw_energy_pallas_adj(sw, pos, h, nbr, valid, interpret=False):
     return sw_energy_from_moments(
         sw, sw_moments_pallas_adj(sw, pos, h, nbr, valid, interpret=interpret)
     )
+
+
+# --------------------------------------------------------------------------
+# Brick-aligned tiles: one tile = one spatial brick padded to 128 lanes,
+# adjacency = the exact 27-stencil on the brick grid — fixes the loose
+# bounding-sphere adjacency of consecutive-atom tiles.
+
+
+def brick_structure(pos: np.ndarray, h: np.ndarray, cutoff: float,
+                    skin: float = 1.0, target_occ: int = 96):
+    """Brick grid + 27-stencil adjacency (host, at rebuild).
+
+    Returns (slot_ids (C, 128) int32 atom ids with n=len(pos) padding,
+    nbr (C, 27) int32, valid (C, 27) int32).  Brick edge >= cutoff+skin
+    and sized for ~target_occ atoms; bricks with more than 128 atoms
+    would drop entries (edge is chosen to prevent it).
+    """
+    pos = np.asarray(pos)
+    n = len(pos)
+    L = np.array([h[0, 0], h[1, 1], h[2, 2]])
+    density = n / float(np.prod(L))
+    edge = max(cutoff + skin, (target_occ / density) ** (1.0 / 3.0))
+    nc = np.maximum(1, np.floor(L / edge).astype(int))
+
+    while True:
+        c1, c2, c3 = int(nc[0]), int(nc[1]), int(nc[2])
+        C = c1 * c2 * c3
+        s = pos @ np.linalg.inv(h).T
+        s -= np.floor(s)
+        bxyz = np.minimum((s * nc).astype(int), nc - 1)
+        bid = (bxyz[:, 0] * c2 + bxyz[:, 1]) * c3 + bxyz[:, 2]
+        slot_ids = np.full((C, TILE), n, dtype=np.int32)
+        fill = np.zeros(C, dtype=int)
+        overflow = False
+        for a in np.argsort(bid, kind="stable"):
+            b = bid[a]
+            if fill[b] < TILE:
+                slot_ids[b, fill[b]] = a
+                fill[b] += 1
+            else:
+                overflow = True
+                break
+        if not overflow:
+            break
+        # refine along the largest-edge axes while they still fit the cutoff
+        grew = False
+        for d in np.argsort(-L / nc):
+            if L[d] / (nc[d] + 1) >= cutoff + skin:
+                nc[d] += 1
+                grew = True
+                break
+        if not grew:
+            raise ValueError(
+                "brick overflow: box too small for 128-lane bricks at this "
+                "cutoff — use the all-pairs kernel"
+            )
+
+    idx = np.arange(C)
+    iz = idx % c3
+    iy = (idx // c3) % c2
+    ix = idx // (c2 * c3)
+    offsets = [(0, 0, 0)] + [
+        (i, j, k)
+        for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+        if (i, j, k) != (0, 0, 0)
+    ]
+    nbr = np.zeros((C, 27), dtype=np.int32)
+    seen = [set() for _ in range(C)]
+    valid = np.zeros((C, 27), dtype=np.int32)
+    for o, (dx_, dy_, dz_) in enumerate(offsets):
+        tgt = ((ix + dx_) % c1) * c2 * c3 + ((iy + dy_) % c2) * c3 + (iz + dz_) % c3
+        for c in range(C):
+            t = int(tgt[c])
+            if t in seen[c]:
+                nbr[c, o] = c
+                valid[c, o] = 0  # duplicate wrap (grids < 3 cells per axis)
+            else:
+                seen[c].add(t)
+                nbr[c, o] = t
+                valid[c, o] = 1
+    return slot_ids, nbr, valid
+
+
+def pack_bricks(pos: jax.Array, slot_ids: np.ndarray) -> jax.Array:
+    """(N, 3) + (C, 128) slots -> (C, 8, 128) tiles with occupancy."""
+    n = pos.shape[0]
+    pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], axis=0)
+    sl = jnp.asarray(slot_ids)
+    g = pos_pad[sl]  # (C, 128, 3)
+    occ = (sl < n).astype(pos.dtype)  # (C, 128)
+    rows = jnp.concatenate(
+        [jnp.transpose(g, (0, 2, 1)), occ[:, None, :]], axis=1
+    )  # (C, 4, 128)
+    return jnp.pad(rows, ((0, 0), (0, 4), (0, 0)))
+
+
+def sw_energy_pallas_bricks(sw, pos, h, slot_ids, nbr, valid, interpret=False):
+    """Brick-tiled SW energy (q=0 force fields)."""
+    tiles = pack_bricks(pos, slot_ids)
+    C = tiles.shape[0]
+    params = jnp.asarray(
+        [[sw.epsilon, sw.sigma, sw.a, sw.lam, sw.gamma, sw.costheta0,
+          sw.A, sw.B, sw.p, sw.q, 0.0, 0.0]],
+        dtype=pos.dtype,
+    )
+    hrow = jnp.asarray([[h[0, 0], h[1, 1], h[2, 2], 0.0]], dtype=pos.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C, nbr.shape[1]),
+        in_specs=[
+            pl.BlockSpec((1, 12), lambda i, k, nbr_r, val_r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, k, nbr_r, val_r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, TILE), lambda i, k, nbr_r, val_r: (i, 0, 0)),
+            pl.BlockSpec((1, 8, TILE),
+                         lambda i, k, nbr_r, val_r: (nbr_r[i, k], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NCHAN, TILE),
+                               lambda i, k, nbr_r, val_r: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _sw_kernel_adj,
+        out_shape=jax.ShapeDtypeStruct((C, NCHAN, TILE), pos.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(nbr), jnp.asarray(valid), params, hrow, tiles, tiles)
+    return sw_energy_from_moments(sw, out)

@@ -37,3 +37,21 @@ def test_sw_pallas_adjacency_matches_allpairs():
     e_all = float(sw_energy_pallas(sw, posj, hj, interpret=True))
     e_adj = float(sw_energy_pallas_adj(sw, posj, hj, nbr, valid, interpret=True))
     assert np.isclose(e_adj, e_all, rtol=1e-12)
+
+
+def test_sw_pallas_bricks_matches_allpairs():
+    import numpy as np
+    from scema_tpu.ops.sw_pallas import sw_energy_pallas_bricks, brick_structure
+
+    sw = SWmod.SI
+    for nc in (3, 4):
+        pos, h = lattice.diamond(5.431, nc, nc, nc)
+        rng = np.random.default_rng(0)
+        pos = pos + 0.05 * rng.standard_normal(pos.shape)
+        posj, hj = jnp.asarray(pos), jnp.asarray(h)
+        slots, nbr, valid = brick_structure(pos, h, sw.cutoff, skin=1.0)
+        e_all = float(sw_energy_pallas(sw, posj, hj, interpret=True))
+        e_brk = float(
+            sw_energy_pallas_bricks(sw, posj, hj, slots, nbr, valid, interpret=True)
+        )
+        assert np.isclose(e_brk, e_all, rtol=1e-10), nc
