@@ -417,6 +417,205 @@ def pack_bricks(pos: jax.Array, slot_ids: np.ndarray) -> jax.Array:
     return jnp.pad(rows, ((0, 0), (0, 4), (0, 0)))
 
 
+def _sw_force_kernel(nbr_ref, val_ref, params_ref, hrow_ref,
+                     a_ref, b_ref, aj_ref, bj_ref, out_ref):
+    """Force accumulation per (a, b) tile pair.
+
+    For each ordered pair the energy contribution is
+      T = 0.5 phi2(r) + g [A_s + A_gsq g + A_m.u + u^T A_Q u]
+    with A_* the center atom's three-body adjoints (computed outside from
+    the moment channels).  w = dT/dd gives F_center += w, F_neighbor -= w;
+    this program accumulates both roles of tile a: centers vs b, and
+    neighbors of b's centers.
+    """
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(val_ref[i, k] == 1)
+    def _():
+        (eps, sig, a_cut, lam, gam, c0, A, B_, p_, q_) = [
+            params_ref[0, kk] for kk in range(10)
+        ]
+        rc = a_cut * sig
+        Lx, Ly, Lz = hrow_ref[0, 0], hrow_ref[0, 1], hrow_ref[0, 2]
+
+        def rows(ref):
+            return ref[0, 0, :], ref[0, 1, :], ref[0, 2, :], ref[0, 3, :]
+
+        ax, ay, az, aocc = rows(a_ref)
+        bx, by, bz, bocc = rows(b_ref)
+
+        def mi(dv, L):
+            return dv - L * jnp.round(dv / L)
+
+        same_tile = nbr_ref[i, k] == i
+        eye = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) == (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        )
+
+        def pair_w(cx, cy, cz, cocc, nx, ny, nz, nocc, adj_ref):
+            """w vectors for (center=sublane, neighbor=lane) pairs."""
+            dx = mi(nx[None, :] - cx[:, None], Lx)
+            dy = mi(ny[None, :] - cy[:, None], Ly)
+            dz = mi(nz[None, :] - cz[:, None], Lz)
+            r2 = dx * dx + dy * dy + dz * dz
+            mask = (
+                (cocc[:, None] > 0.5) & (nocc[None, :] > 0.5)
+                & (r2 < (rc - 1e-6) ** 2) & ~(same_tile & eye)
+            )
+            r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+            inv_r = 1.0 / r
+            ux, uy, uz = dx * inv_r, dy * inv_r, dz * inv_r
+            denom = jnp.where(mask, r - rc, -1.0)
+            expo = jnp.exp(sig / denom)
+            sr = sig * inv_r
+            sr2 = sr * sr
+            srp = sr2 * sr2
+            phi2 = A * eps * (B_ * srp - 1.0) * expo
+            dphi2 = (
+                A * eps * (-4.0 * B_ * srp * inv_r) * expo
+                + phi2 * (-sig / (denom * denom))
+            )
+            g = jnp.exp(gam * sig / denom)
+            dg = g * (-gam * sig / (denom * denom))
+
+            # center adjoints broadcast over lanes
+            A_s = adj_ref[0, 12, :][:, None]
+            A_gsq = adj_ref[0, 13, :][:, None]
+            Amx = adj_ref[0, 3, :][:, None]
+            Amy = adj_ref[0, 4, :][:, None]
+            Amz = adj_ref[0, 5, :][:, None]
+            Qxx = adj_ref[0, 6, :][:, None]
+            Qyy = adj_ref[0, 7, :][:, None]
+            Qzz = adj_ref[0, 8, :][:, None]
+            Qxy = adj_ref[0, 9, :][:, None]
+            Qxz = adj_ref[0, 10, :][:, None]
+            Qyz = adj_ref[0, 11, :][:, None]
+
+            am_u = Amx * ux + Amy * uy + Amz * uz
+            Qu_x = Qxx * ux + Qxy * uy + Qxz * uz
+            Qu_y = Qxy * ux + Qyy * uy + Qyz * uz
+            Qu_z = Qxz * ux + Qyz * uy + Qzz * uz
+            uQu = ux * Qu_x + uy * Qu_y + uz * Qu_z
+
+            radial = 0.5 * dphi2 + dg * (A_s + 2.0 * A_gsq * g + am_u + uQu)
+            tang = g * inv_r
+            wx = radial * ux + tang * (Amx + 2.0 * Qu_x - (am_u + 2.0 * uQu) * ux)
+            wy = radial * uy + tang * (Amy + 2.0 * Qu_y - (am_u + 2.0 * uQu) * uy)
+            wz = radial * uz + tang * (Amz + 2.0 * Qu_z - (am_u + 2.0 * uQu) * uz)
+            z = jnp.zeros_like(wx)
+            return (jnp.where(mask, wx, z), jnp.where(mask, wy, z),
+                    jnp.where(mask, wz, z))
+
+        # role 1: a centers vs b neighbors -> F_a += sum_lanes w
+        w1x, w1y, w1z = pair_w(ax, ay, az, aocc, bx, by, bz, bocc, aj_ref)
+        # role 2: b centers vs a neighbors -> F_a -= sum_sublanes w'
+        w2x, w2y, w2z = pair_w(bx, by, bz, bocc, ax, ay, az, aocc, bj_ref)
+
+        fx = jnp.sum(w1x, axis=1) - jnp.sum(w2x, axis=0)
+        fy = jnp.sum(w1y, axis=1) - jnp.sum(w2y, axis=0)
+        fz = jnp.sum(w1z, axis=1) - jnp.sum(w2z, axis=0)
+        acc = jnp.stack([fx, fy, fz], axis=0)
+        acc = jnp.pad(acc, ((0, 8 - 3), (0, 0)))[None]
+        out_ref[:] = out_ref[:] + acc
+
+
+def sw_forces_pallas_bricks(sw, pos, h, slot_ids, nbr, valid,
+                            interpret=False):
+    """SW forces on the brick structure (q=0 force fields).
+
+    Two fused passes: moments (energy kernel), then the force kernel with
+    per-atom adjoint channels.  Returns (F (N, 3), E total).
+    """
+    moments = sw_moments_pallas_bricks_raw(sw, pos, h, slot_ids, nbr, valid,
+                                           interpret=interpret)
+    C = moments.shape[0]
+    lam_eps = sw.lam * sw.epsilon
+    c0 = sw.costheta0
+    # adjoint channels appended in slots 12 (A_s) and 13 (A_gsq); m/Q
+    # channels 3..11 scaled into adjoints in place
+    s = moments[:, 1]
+    adj = moments
+    adj = adj.at[:, 12].set(lam_eps * c0 * c0 * s)
+    adj = adj.at[:, 13].set(-(lam_eps / 2.0) * (1.0 - c0) ** 2
+                            * jnp.ones_like(s))
+    adj = adj.at[:, 3:6].set(-2.0 * lam_eps * c0 * moments[:, 3:6])
+    adj = adj.at[:, 6:12].set(lam_eps * moments[:, 6:12])
+
+    tiles = pack_bricks(pos, slot_ids)
+    params = jnp.asarray(
+        [[sw.epsilon, sw.sigma, sw.a, sw.lam, sw.gamma, sw.costheta0,
+          sw.A, sw.B, sw.p, sw.q, 0.0, 0.0]],
+        dtype=pos.dtype,
+    )
+    hrow = jnp.asarray([[h[0, 0], h[1, 1], h[2, 2], 0.0]], dtype=pos.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C, nbr.shape[1]),
+        in_specs=[
+            pl.BlockSpec((1, 12), lambda i, k, n_, v_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, k, n_, v_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, TILE), lambda i, k, n_, v_: (i, 0, 0)),
+            pl.BlockSpec((1, 8, TILE), lambda i, k, n_, v_: (n_[i, k], 0, 0)),
+            pl.BlockSpec((1, NCHAN, TILE), lambda i, k, n_, v_: (i, 0, 0)),
+            pl.BlockSpec((1, NCHAN, TILE), lambda i, k, n_, v_: (n_[i, k], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, TILE), lambda i, k, n_, v_: (i, 0, 0)),
+    )
+    fout = pl.pallas_call(
+        _sw_force_kernel,
+        out_shape=jax.ShapeDtypeStruct((C, 8, TILE), pos.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(nbr), jnp.asarray(valid), params, hrow, tiles, tiles,
+      adj, adj)
+
+    # scatter slot forces back to atom order
+    n = pos.shape[0]
+    f_slots = jnp.transpose(fout[:, :3, :], (0, 2, 1)).reshape(-1, 3)
+    ids = jnp.asarray(slot_ids).reshape(-1)
+    F = jnp.zeros((n + 1, 3), dtype=pos.dtype).at[ids].add(f_slots)[:n]
+    energy = sw_energy_from_moments(sw, moments)
+    return F, energy
+
+
+def sw_moments_pallas_bricks_raw(sw, pos, h, slot_ids, nbr, valid,
+                                 interpret=False):
+    tiles = pack_bricks(pos, slot_ids)
+    C = tiles.shape[0]
+    params = jnp.asarray(
+        [[sw.epsilon, sw.sigma, sw.a, sw.lam, sw.gamma, sw.costheta0,
+          sw.A, sw.B, sw.p, sw.q, 0.0, 0.0]],
+        dtype=pos.dtype,
+    )
+    hrow = jnp.asarray([[h[0, 0], h[1, 1], h[2, 2], 0.0]], dtype=pos.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C, nbr.shape[1]),
+        in_specs=[
+            pl.BlockSpec((1, 12), lambda i, k, n_, v_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, k, n_, v_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, TILE), lambda i, k, n_, v_: (i, 0, 0)),
+            pl.BlockSpec((1, 8, TILE), lambda i, k, n_, v_: (n_[i, k], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NCHAN, TILE), lambda i, k, n_, v_: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        _sw_kernel_adj,
+        out_shape=jax.ShapeDtypeStruct((C, NCHAN, TILE), pos.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(nbr), jnp.asarray(valid), params, hrow, tiles, tiles)
+
+
 def sw_energy_pallas_bricks(sw, pos, h, slot_ids, nbr, valid, interpret=False):
     """Brick-tiled SW energy (q=0 force fields)."""
     tiles = pack_bricks(pos, slot_ids)

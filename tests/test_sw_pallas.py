@@ -55,3 +55,23 @@ def test_sw_pallas_bricks_matches_allpairs():
             sw_energy_pallas_bricks(sw, posj, hj, slots, nbr, valid, interpret=True)
         )
         assert np.isclose(e_brk, e_all, rtol=1e-10), nc
+
+
+def test_sw_pallas_forces_match_autodiff():
+    import jax
+    import numpy as np
+    from scema_tpu.ops.sw_pallas import sw_forces_pallas_bricks, brick_structure
+
+    sw = SWmod.SI
+    pos, h = lattice.diamond(5.431, 3, 3, 3)
+    rng = np.random.default_rng(0)
+    pos = pos + 0.05 * rng.standard_normal(pos.shape)
+    posj, hj = jnp.asarray(pos), jnp.asarray(h)
+    slots, nbr, valid = brick_structure(pos, h, sw.cutoff, skin=1.0)
+    F, E = sw_forces_pallas_bricks(sw, posj, hj, slots, nbr, valid, interpret=True)
+    spec = NB.NeighborSpec(cutoff=sw.cutoff, skin=0.5, k_max=24)
+    nl = NB.build(spec, posj, hj)
+    F_ref = -jax.grad(lambda p: sw.energy(p, hj, nl))(posj)
+    E_ref = float(sw.energy(posj, hj, nl))
+    assert np.isclose(float(E), E_ref, rtol=1e-12)
+    assert float(jnp.abs(F - F_ref).max()) < 1e-12
