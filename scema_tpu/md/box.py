@@ -43,17 +43,16 @@ def volume(h) -> jax.Array:
 
 
 def inv_h(h) -> jax.Array:
-    """Closed-form inverse of the upper-triangular h-matrix."""
-    lx, ly, lz = h[0, 0], h[1, 1], h[2, 2]
-    xy, xz, yz = h[0, 1], h[0, 2], h[1, 2]
-    z = jnp.zeros((), dtype=h.dtype)
-    return jnp.array(
-        [
-            [1.0 / lx, -xy / (lx * ly), (xy * yz - ly * xz) / (lx * ly * lz)],
-            [z, 1.0 / ly, -yz / (ly * lz)],
-            [z, z, 1.0 / lz],
-        ]
-    )
+    """Inverse of the box matrix.
+
+    General (jnp.linalg.inv) rather than the upper-triangular closed form:
+    the virial's strain-derivative closure (engine.forces_energy_virial)
+    deforms h by arbitrary 3x3 factors, and an upper-triangular-only
+    inverse silently corrupts the minimum image there — which showed up as
+    an asymmetric dE/d(eps) and wrong shear virials (caught by the Pallas
+    force kernel's independent pair-sum virial).
+    """
+    return jnp.linalg.inv(h)
 
 
 def to_fractional(h, pos) -> jax.Array:

@@ -509,18 +509,32 @@ def _sw_force_kernel(nbr_ref, val_ref, params_ref, hrow_ref,
             wz = radial * uz + tang * (Amz + 2.0 * Qu_z - (am_u + 2.0 * uQu) * uz)
             z = jnp.zeros_like(wx)
             return (jnp.where(mask, wx, z), jnp.where(mask, wy, z),
-                    jnp.where(mask, wz, z))
+                    jnp.where(mask, wz, z),
+                    (jnp.where(mask, dx, z), jnp.where(mask, dy, z),
+                     jnp.where(mask, dz, z)))
 
-        # role 1: a centers vs b neighbors -> F_a += sum_lanes w
-        w1x, w1y, w1z = pair_w(ax, ay, az, aocc, bx, by, bz, bocc, aj_ref)
+        # role 1: a centers vs b neighbors -> F_a += sum_lanes w.
+        # This role also enumerates every ordered pair exactly once, so it
+        # accumulates the per-pair virial sum w (x) d as 6 extra channels
+        # (W = -sym(sum) outside).
+        w1x, w1y, w1z, d1 = pair_w(ax, ay, az, aocc, bx, by, bz, bocc, aj_ref)
         # role 2: b centers vs a neighbors -> F_a -= sum_sublanes w'
-        w2x, w2y, w2z = pair_w(bx, by, bz, bocc, ax, ay, az, aocc, bj_ref)
+        w2x, w2y, w2z, _ = pair_w(bx, by, bz, bocc, ax, ay, az, aocc, bj_ref)
 
         fx = jnp.sum(w1x, axis=1) - jnp.sum(w2x, axis=0)
         fy = jnp.sum(w1y, axis=1) - jnp.sum(w2y, axis=0)
         fz = jnp.sum(w1z, axis=1) - jnp.sum(w2z, axis=0)
-        acc = jnp.stack([fx, fy, fz], axis=0)
-        acc = jnp.pad(acc, ((0, 8 - 3), (0, 0)))[None]
+        dx1, dy1, dz1 = d1
+        wd = [
+            jnp.sum(w1x * dx1, axis=1),
+            jnp.sum(w1y * dy1, axis=1),
+            jnp.sum(w1z * dz1, axis=1),
+            0.5 * jnp.sum(w1x * dy1 + w1y * dx1, axis=1),
+            0.5 * jnp.sum(w1x * dz1 + w1z * dx1, axis=1),
+            0.5 * jnp.sum(w1y * dz1 + w1z * dy1, axis=1),
+        ]
+        acc = jnp.stack([fx, fy, fz] + wd, axis=0)
+        acc = jnp.pad(acc, ((0, NCHAN - acc.shape[0]), (0, 0)))[None]
         out_ref[:] = out_ref[:] + acc
 
 
@@ -566,11 +580,11 @@ def sw_forces_pallas_bricks(sw, pos, h, slot_ids, nbr, valid,
             pl.BlockSpec((1, NCHAN, TILE), lambda i, k, n_, v_: (i, 0, 0)),
             pl.BlockSpec((1, NCHAN, TILE), lambda i, k, n_, v_: (n_[i, k], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, TILE), lambda i, k, n_, v_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, NCHAN, TILE), lambda i, k, n_, v_: (i, 0, 0)),
     )
     fout = pl.pallas_call(
         _sw_force_kernel,
-        out_shape=jax.ShapeDtypeStruct((C, 8, TILE), pos.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, NCHAN, TILE), pos.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.asarray(nbr), jnp.asarray(valid), params, hrow, tiles, tiles,
@@ -582,7 +596,12 @@ def sw_forces_pallas_bricks(sw, pos, h, slot_ids, nbr, valid,
     ids = jnp.asarray(slot_ids).reshape(-1)
     F = jnp.zeros((n + 1, 3), dtype=pos.dtype).at[ids].add(f_slots)[:n]
     energy = sw_energy_from_moments(sw, moments)
-    return F, energy
+    # potential virial W_ab = -sym(sum_pairs w (x) d) (engine convention)
+    wd = jnp.sum(fout[:, 3:9, :], axis=(0, 2))  # (6,) [xx,yy,zz,xy,xz,yz]
+    W = -jnp.asarray(
+        [[wd[0], wd[3], wd[4]], [wd[3], wd[1], wd[5]], [wd[4], wd[5], wd[2]]]
+    )
+    return F, energy, W
 
 
 def sw_moments_pallas_bricks_raw(sw, pos, h, slot_ids, nbr, valid,

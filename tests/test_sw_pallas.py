@@ -68,10 +68,17 @@ def test_sw_pallas_forces_match_autodiff():
     pos = pos + 0.05 * rng.standard_normal(pos.shape)
     posj, hj = jnp.asarray(pos), jnp.asarray(h)
     slots, nbr, valid = brick_structure(pos, h, sw.cutoff, skin=1.0)
-    F, E = sw_forces_pallas_bricks(sw, posj, hj, slots, nbr, valid, interpret=True)
+    F, E, W = sw_forces_pallas_bricks(sw, posj, hj, slots, nbr, valid, interpret=True)
     spec = NB.NeighborSpec(cutoff=sw.cutoff, skin=0.5, k_max=24)
     nl = NB.build(spec, posj, hj)
     F_ref = -jax.grad(lambda p: sw.energy(p, hj, nl))(posj)
     E_ref = float(sw.energy(posj, hj, nl))
     assert np.isclose(float(E), E_ref, rtol=1e-12)
     assert float(jnp.abs(F - F_ref).max()) < 1e-12
+    # virial matches the strain-derivative definition
+    from scema_tpu.md import engine as ME
+    from scema_tpu.md.neighbor import NeighborSpec
+    import jax.numpy as jnp2
+    sys_ = ME.MDSystem(ff=sw, masses=jnp2.full((len(pos),), 28.0855), nspec=spec)
+    _, _, W_ref = ME.forces_energy_virial(sys_, posj, hj, nl)
+    assert np.allclose(np.asarray(W), np.asarray(W_ref), atol=1e-10)
