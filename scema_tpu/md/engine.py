@@ -62,7 +62,14 @@ class MDSystem:
         return 3 * self.n_atoms - 3
 
     def build_neighbors(self, pos, h):
-        """Interaction structure for ff.energy: grid, one-hot, or list."""
+        """Interaction structure for ff.energy: grid, one-hot, or list.
+
+        Force fields with a built-in static structure (the Pallas brick
+        kernels) need no per-run neighbor data — a placeholder is carried
+        through the loops instead.
+        """
+        if getattr(self.ff, "slot_ids", None) is not None:
+            return jnp.zeros((), dtype=jnp.int32)
         if self.grid is not None:
             from . import grid as G
 
@@ -103,6 +110,8 @@ def temperature(sys: MDSystem, vel) -> jax.Array:
 
 
 def forces(sys: MDSystem, pos, h, nbr) -> jax.Array:
+    if hasattr(sys.ff, "forces"):  # fused Pallas kernel path
+        return sys.ff.forces(pos, h, nbr)
     return -jax.grad(lambda p: sys.ff.energy(p, h, nbr))(pos)
 
 
@@ -111,7 +120,11 @@ def forces_energy_virial(sys: MDSystem, pos, h, nbr):
 
     W_ab = -dE/d eps_ab for the affine deformation pos->(1+eps)pos,
     h->(1+eps)h — one extra gradient alongside the force gradient.
+    Force fields exposing their own forces_energy_virial (the Pallas
+    brick kernels) are dispatched directly.
     """
+    if hasattr(sys.ff, "forces_energy_virial"):
+        return sys.ff.forces_energy_virial(pos, h, nbr)
 
     def e(p, eps):
         F = jnp.eye(3, dtype=p.dtype) + eps

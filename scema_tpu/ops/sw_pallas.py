@@ -604,6 +604,50 @@ def sw_forces_pallas_bricks(sw, pos, h, slot_ids, nbr, valid,
     return F, energy, W
 
 
+class SWBricksFF:
+    """Engine-pluggable SW force field backed by the Pallas brick kernels.
+
+    The brick structure (slot assignment + 27-stencil adjacency) is built
+    host-side once and is affine-invariant (binning uses fractional
+    coordinates), so fix-deform box changes never invalidate it; thermal
+    drift across brick boundaries is bounded by the brick margin for
+    solid-state runs (periodic host rebuilds arrive with the round-2
+    engine integration of longer trajectories).
+
+    Provides energy / forces / forces_energy_virial so md/engine.py can
+    dispatch to the fused kernels instead of autodiff.
+    """
+
+    def __init__(self, sw, pos0, h0, skin: float = 1.0, target_occ: int = 96):
+        import numpy as np
+
+        self.sw = sw
+        self.cutoff = sw.cutoff
+        slots, nbr, valid = brick_structure(
+            np.asarray(pos0), np.asarray(h0), sw.cutoff, skin=skin,
+            target_occ=target_occ,
+        )
+        self.slot_ids = slots
+        self.nbr = nbr
+        self.valid = valid
+
+    def energy(self, pos, h, nbrstruct=None):
+        return sw_energy_pallas_bricks(
+            self.sw, pos, h, self.slot_ids, self.nbr, self.valid
+        )
+
+    def forces(self, pos, h, nbrstruct=None):
+        F, _, _ = sw_forces_pallas_bricks(
+            self.sw, pos, h, self.slot_ids, self.nbr, self.valid
+        )
+        return F
+
+    def forces_energy_virial(self, pos, h, nbrstruct=None):
+        return sw_forces_pallas_bricks(
+            self.sw, pos, h, self.slot_ids, self.nbr, self.valid
+        )
+
+
 def sw_moments_pallas_bricks_raw(sw, pos, h, slot_ids, nbr, valid,
                                  interpret=False):
     tiles = pack_bricks(pos, slot_ids)

@@ -82,3 +82,39 @@ def test_sw_pallas_forces_match_autodiff():
     sys_ = ME.MDSystem(ff=sw, masses=jnp2.full((len(pos),), 28.0855), nspec=spec)
     _, _, W_ref = ME.forces_energy_virial(sys_, posj, hj, nl)
     assert np.allclose(np.asarray(W), np.asarray(W_ref), atol=1e-10)
+
+
+def test_brick_ff_dynamics_matches_list_path():
+    """Short NVE/NVT trajectories with the Pallas brick force field match
+    the autodiff neighbor-list path."""
+    import jax
+    import numpy as np
+    from scema_tpu.md import engine as E
+    from scema_tpu.ops.sw_pallas import SWBricksFF
+
+    sw = SWmod.SI
+    pos, h = lattice.diamond(5.431, 3, 3, 3)
+    rng = np.random.default_rng(0)
+    pos = pos + 0.02 * rng.standard_normal(pos.shape)
+    n = len(pos)
+    posj, hj = jnp.asarray(pos), jnp.asarray(h)
+    masses = jnp.full((n,), 28.0855)
+    spec = NB.NeighborSpec(cutoff=sw.cutoff, skin=1.0, k_max=24)
+
+    import scema_tpu.ops.sw_pallas as SP
+    orig = SP.pl.pallas_call
+    SP.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        ff_bricks = SWBricksFF(sw, pos, h)
+        sys_b = E.MDSystem(ff=ff_bricks, masses=masses, nspec=spec)
+        sys_l = E.MDSystem(ff=sw, masses=masses, nspec=spec)
+        st = E.init_state(posj, hj)
+        out_b = E.run_nvt(sys_b, st, 10, 10.0, 0.5)
+        out_l = E.run_nvt(sys_l, st, 10, 10.0, 0.5)
+        assert np.allclose(np.asarray(out_b.pos), np.asarray(out_l.pos), atol=1e-9)
+        # stress sampling path (uses forces_energy_virial dispatch)
+        _, p_b = E.sample_stress(sys_b, st, 10, 10.0, 0.5)
+        _, p_l = E.sample_stress(sys_l, st, 10, 10.0, 0.5)
+        assert np.allclose(np.asarray(p_b), np.asarray(p_l), atol=1e-6)
+    finally:
+        SP.pl.pallas_call = orig
