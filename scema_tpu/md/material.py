@@ -53,6 +53,9 @@ class MaterialSpec:
     chain_length: int = 8
     opls_lj_cutoff: float = 10.0
     use_ewald: bool = False  # alkanes are uncharged; data files may enable
+    # sw extras: fused Pallas brick kernels (ops/sw_pallas.py) — the
+    # big-box force path (wins beyond ~10k atoms)
+    use_pallas_bricks: bool = False
 
 
 @dataclass(frozen=True)
@@ -118,6 +121,19 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
             "(reax is out of scope, SURVEY.md hard parts)"
         )
     nspec = NB.derive_spec(n, np.asarray(h), cutoff=cutoff, skin=1.0, k_max=k_max)
+    if spec.force_field == "sw" and spec.use_pallas_bricks:
+        from ..ops.sw_pallas import SWBricksFF
+
+        ff = SWBricksFF(ff, np.asarray(pos), np.asarray(h))
+        sys = E.MDSystem(
+            ff=ff,
+            masses=jnp.full((n,), spec.mass, dtype=dtype),
+            nspec=nspec,
+            units=REAL,
+            rebuild_every=spec.rebuild_every,
+        )
+        return sys, E.init_state(jnp.asarray(pos, dtype=dtype),
+                                 jnp.asarray(h, dtype=dtype))
     ohspec = None
     if use_onehot:
         from . import neighbor_onehot as OH
