@@ -214,8 +214,17 @@ def _time(d):
 def _mesh(d):
     m = d.get("continuum mesh", {})
     i = m.get("input", {})
+    fe_degree = int(_get(m, "fe degree", 1))
+    if fe_degree != 1:
+        # the reference's FE_Q(degree) is configurable (dealammps.cc:276);
+        # this rebuild implements trilinear Q1 hexes only — refuse loudly
+        # rather than silently solving a different discretization
+        raise NotImplementedError(
+            f"'fe degree' = {fe_degree}: only degree-1 (Q1 trilinear hex) "
+            "elements are implemented; refine the mesh instead"
+        )
     return MeshConfig(
-        fe_degree=int(_get(m, "fe degree", 1)),
+        fe_degree=fe_degree,
         quadrature_formula=int(_get(m, "quadrature formula", 2)),
         style=_get(i, "style", "cuboid"),
         x_length=float(_get(i, "x length", 0.03)),

@@ -129,6 +129,10 @@ def solve(ops: FEOps, state: FEState) -> tuple[FEState, SolveOutputs]:
     # results from self; remember last provider (hist_strain setters ibid).
     hist = state.hist
     n_qp = new_strain.shape[0]
+    # Saturation, not a ring: past capacity, each append overwrites the
+    # last slot.  init_state sizes capacity to the full run (n_steps + 2),
+    # so saturation never happens there; anyone decoupling capacity from
+    # run length must accept truncated clustering histories.
     idx = jnp.minimum(hist.count, hist.buffer.shape[1] - 1)
     zero = jnp.zeros((), dtype=idx.dtype)
     buffer = jax.lax.dynamic_update_slice(

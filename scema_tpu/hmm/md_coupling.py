@@ -103,8 +103,15 @@ class MDBackend:
             offset = (jnp.asarray(timestep, jnp.int32) * K) % n_qp
             rolled = jnp.roll(jobs, -offset)
             idx_r = jnp.nonzero(rolled, size=K, fill_value=0)[0]
-            job_idx = (idx_r + offset) % n_qp
             slot_valid = jnp.arange(K) < jnp.sum(jobs)
+            # invalid slots get an out-of-range sentinel: OOB gathers clamp
+            # (their rows are masked anyway) and OOB scatters drop — a
+            # fill_value of 0 would make every empty slot alias qp `offset`,
+            # and XLA's duplicate-index .set order is unspecified (a flagged
+            # qp could nondeterministically receive a stale microstate)
+            job_idx = jnp.where(
+                slot_valid, (idx_r + offset) % n_qp, n_qp
+            ).astype(jnp.int32)
 
             # microstate source: own if it has run, else borrowed from
             # most_recent provider if that ran, else the fresh initial state
@@ -194,24 +201,16 @@ class MDBackend:
             # has_result records which qps actually received MD stresses
             # (job capacity may be smaller than the flagged count)
             update_stress_cg = jnp.zeros((n_qp, 6), dtype=eps_cg.dtype)
-            update_stress_cg = update_stress_cg.at[job_idx].set(
-                jnp.where(slot_valid[:, None], upd, update_stress_cg[job_idx])
-            )
+            update_stress_cg = update_stress_cg.at[job_idx].set(upd, mode="drop")
             has_result = (
                 jnp.zeros((n_qp,), dtype=jnp.int32)
                 .at[job_idx]
-                .add(slot_valid.astype(jnp.int32))
+                .add(1, mode="drop")
                 > 0
             )
 
             def scat(old, new):
-                return old.at[job_idx].set(
-                    jnp.where(
-                        slot_valid.reshape((K,) + (1,) * (new.ndim - 1)),
-                        new,
-                        old[job_idx],
-                    )
-                )
+                return old.at[job_idx].set(new, mode="drop")
 
             ran = jobs & has_result
             micro = MicroStates(
@@ -314,7 +313,9 @@ class MDHMMProblem:
             residual0=out.residual,
             residual1=res1,
             n_flagged=jnp.sum(out.flags),
-            n_jobs=jnp.sum(jobs),
+            # jobs *executed* this step (job capacity may round-robin a
+            # larger flagged set) — not the requested count
+            n_jobs=jnp.sum(has_result),
             reaction_force=rf,
         )
 

@@ -59,7 +59,16 @@ class MDSystem:
 
     @property
     def ndof(self) -> int:
-        return 3 * self.n_atoms - 3
+        # LAMMPS fix shake subtracts each rigid bond from the temperature
+        # DOF count; without this the NHC thermostat targets an inflated KE
+        # and overheats constrained systems.
+        n_cons = 0
+        if self.constraints is not None:
+            import numpy as np
+
+            # mask is concrete (constraints are built eagerly at setup)
+            n_cons = int(np.asarray(self.constraints.mask).sum())
+        return 3 * self.n_atoms - 3 - n_cons
 
     def build_neighbors(self, pos, h):
         """Interaction structure for ff.energy: grid, one-hot, or list.
@@ -304,9 +313,13 @@ def run_npt(
             _, _, W = forces_energy_virial(sys, st.pos, st.h, nbr)
             p6 = pressure_tensor(sys, st, W)
             p_iso = (p6[0] + p6[1] + p6[2]) / 3.0
-            mu = (1.0 - dt / pdamp * compressibility * (p_target - p_iso)) ** (
-                1.0 / 3.0
+            # clamp the base before the cube root (LAMMPS-style mu limiting):
+            # a large transient virial on an unequilibrated structure can
+            # drive the base negative, which would NaN the whole state
+            mu_base = jnp.clip(
+                1.0 - dt / pdamp * compressibility * (p_target - p_iso), 0.9, 1.1
             )
+            mu = mu_base ** (1.0 / 3.0)
             h_new = st.h * mu
             pos = st.pos * mu
             return (st._replace(pos=pos, h=h_new), F)

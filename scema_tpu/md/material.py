@@ -49,13 +49,20 @@ class MaterialSpec:
     rebuild_every: int = 10
     # opls extras: a LAMMPS data file, or the built-in alkane-melt builder
     data_file: str = ""
-    n_chains: int = 27
+    # 64 chains x 8 beads => L ~ 25.8 A at 0.7 g/cm^3, satisfying the
+    # minimum-image bound for the 10 A cutoff + skin (the old 27-chain
+    # melt's 19.3 A box was smaller than 2x cutoff)
+    n_chains: int = 64
     chain_length: int = 8
     opls_lj_cutoff: float = 10.0
+    opls_coul_cutoff: float = 9.0  # real-space Coulomb cutoff (in.set.lammps)
     use_ewald: bool = False  # alkanes are uncharged; data files may enable
     # sw extras: fused Pallas brick kernels (ops/sw_pallas.py) — the
     # big-box force path (wins beyond ~10k atoms)
     use_pallas_bricks: bool = False
+    # setup-time sanity checks (min-image bound, k_max coverage, cell
+    # capacity); disable only for deliberately unphysical test fixtures
+    validate: bool = True
 
 
 @dataclass(frozen=True)
@@ -67,6 +74,40 @@ class InitData:
     stress: np.ndarray  # (6,) Pa
     stiff: np.ndarray  # (6, 6) Pa
     density: float  # kg/m^3
+
+
+def _validate_setup(spec: MaterialSpec, pos, h, nspec: NB.NeighborSpec) -> None:
+    """Setup-time sanity checks (eager numpy; reference: LAMMPS errors out
+    on 'cutoff > half the box' and neighbor-page overflow — here the
+    static-shape analogs are checked once at system build).
+
+    1. Minimum-image bound: r_list <= min_height(h)/2 — beyond it the
+       single-image neighbor search misses genuine periodic copies.
+    2. List width: k_max must hold every neighbor within cutoff + skin/2
+       (allowing motion during the rebuild interval).
+    3. Cell capacity: the fullest cell must fit the slot grid, else atoms
+       silently free-stream with zero force.
+    """
+    hmin = float(np.min(np.abs(np.diag(np.asarray(h, dtype=float)))))
+    if nspec.r_list > 0.5 * hmin:
+        raise ValueError(
+            f"material {spec.name!r}: neighbor range {nspec.r_list:.2f} A "
+            f"violates the minimum-image bound (box min height {hmin:.2f} A); "
+            "enlarge the box or reduce the cutoff/skin"
+        )
+    k_need = NB.max_in_range(pos, h, nspec.cutoff + 0.5 * nspec.skin)
+    if nspec.k_max < k_need:
+        raise ValueError(
+            f"material {spec.name!r}: neighbor list width k_max={nspec.k_max} "
+            f"< {k_need} neighbors within cutoff+skin/2 — in-cutoff pairs "
+            "would be silently dropped; raise neighbor_k"
+        )
+    occ = NB.max_cell_occupancy(nspec, pos, h)
+    if occ > nspec.cell_capacity:
+        raise ValueError(
+            f"material {spec.name!r}: fullest cell holds {occ} atoms "
+            f"> cell_capacity={nspec.cell_capacity}"
+        )
 
 
 def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
@@ -89,7 +130,7 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         n = len(pos)
         ff = LJmod.single_type(spec.lj_epsilon, spec.lj_sigma, spec.lj_cutoff, n, dtype)
         cutoff = spec.lj_cutoff
-        k_max = max(spec.neighbor_k, 64)
+        k_max = max(spec.neighbor_k, NB.required_k(n, np.asarray(h), cutoff + 1.0))
     elif spec.force_field == "opls":
         from . import data_io
 
@@ -99,12 +140,19 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
             data = data_io.build_alkane_melt(spec.n_chains, spec.chain_length)
         ff = data_io.to_opls(
             data, lj_cutoff=spec.opls_lj_cutoff,
+            coul_cutoff=spec.opls_coul_cutoff,
             use_ewald=spec.use_ewald, dtype=dtype,
         )
         n = len(data.pos)
         cutoff = ff.cutoff
-        k_max = max(spec.neighbor_k, 96)
+        # size the list from density, not a constant: the default melt has
+        # ~134 neighbors within the 10 A cutoff — a 96-wide list silently
+        # drops in-cutoff pairs (wrong LJ/Coulomb stresses)
+        k_max = max(spec.neighbor_k,
+                    NB.required_k(n, data.box, cutoff + 1.0))
         nspec = NB.derive_spec(n, data.box, cutoff=cutoff, skin=1.0, k_max=k_max)
+        if spec.validate:
+            _validate_setup(spec, data.pos, data.box, nspec)
         sys = E.MDSystem(
             ff=ff,
             masses=jnp.asarray(data.masses[data.types], dtype=dtype),
@@ -121,6 +169,8 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
             "(reax is out of scope, SURVEY.md hard parts)"
         )
     nspec = NB.derive_spec(n, np.asarray(h), cutoff=cutoff, skin=1.0, k_max=k_max)
+    if spec.validate:
+        _validate_setup(spec, np.asarray(pos), np.asarray(h), nspec)
     if spec.force_field == "sw" and spec.use_pallas_bricks:
         from ..ops.sw_pallas import SWBricksFF
 

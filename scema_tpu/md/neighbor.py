@@ -74,6 +74,57 @@ def derive_spec(n_atoms: int, h0: np.ndarray, cutoff: float, skin: float = 2.0,
     )
 
 
+def required_k(n_atoms: int, h0: np.ndarray, r_list: float,
+               margin: float = 1.3, pad: int = 8) -> int:
+    """Uniform-density estimate of the list width needed to hold every
+    candidate within ``r_list``.
+
+    A fixed-width list sized below the true in-cutoff coordination silently
+    drops genuine pairs (wrong forces/virials with no error), so callers
+    should size ``k_max`` from this rather than a hand-picked constant
+    (crystals with known shell structure may deliberately use less —
+    validated by ``max_in_range``)."""
+    vol = abs(float(np.linalg.det(np.asarray(h0, dtype=float))))
+    density = n_atoms / vol
+    k = int(np.ceil(density * (4.0 / 3.0) * np.pi * r_list**3 * margin)) + pad
+    return max(1, min(k, n_atoms - 1))
+
+
+def max_in_range(pos, h, r: float, chunk: int = 1024) -> int:
+    """Eager diagnostic: the exact maximum per-atom neighbor count within
+    ``r`` (minimum-image).  O(N^2) in numpy, chunked — setup-time only."""
+    pos = np.asarray(pos, dtype=float)
+    h = np.asarray(h, dtype=float)
+    ih = np.linalg.inv(h)
+    worst = 0
+    n = pos.shape[0]
+    for i0 in range(0, n, chunk):
+        blk = pos[i0:i0 + chunk]
+        ds = (blk[:, None, :] - pos[None, :, :]) @ ih.T
+        ds -= np.round(ds)
+        dr = ds @ h.T
+        r2 = np.einsum("ijk,ijk->ij", dr, dr)
+        cnt = (r2 < r * r).sum(axis=1) - 1  # minus self
+        worst = max(worst, int(cnt.max()))
+    return worst
+
+
+def max_cell_occupancy(spec: NeighborSpec, pos, h) -> int:
+    """Eager diagnostic: the fullest cell's atom count under ``spec.cells``
+    (atoms beyond ``cell_capacity`` are silently dropped from the slot grid
+    — free-streaming ghosts — so callers must check this at setup)."""
+    if spec.cells == (0, 0, 0):
+        return 0
+    pos = np.asarray(pos, dtype=float)
+    h = np.asarray(h, dtype=float)
+    nc = np.asarray(spec.cells)
+    s = pos @ np.linalg.inv(h).T
+    s -= np.floor(s)
+    cxyz = np.clip((s * nc).astype(int), 0, nc - 1)
+    cid = (cxyz[:, 0] * nc[1] + cxyz[:, 1]) * nc[2] + cxyz[:, 2]
+    return int(np.bincount(cid).max())
+
+
 def _topk_compact(dr2: jax.Array, cand_idx: jax.Array, valid: jax.Array, k: int,
                   r2_cut: float) -> NeighborList:
     """Keep the k nearest valid candidates per row.

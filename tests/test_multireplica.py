@@ -20,7 +20,9 @@ def test_two_replicas_run_and_average():
                             strain_rate=1.0e-2, nsteps_sample=10, force_field="sw"),
         md_dtype="float64",
     )
-    hmm = build_md_hmm(cfg, spec=MaterialSpec(name="sic", force_field="sw", n_cells=1),
+    # n_cells=2: the 1-cell box (5.4 A) violates the minimum-image bound
+    # against r_list=4.77 A that build_system now asserts
+    hmm = build_md_hmm(cfg, spec=MaterialSpec(name="sic", force_field="sw", n_cells=2),
                        equil_steps=25, minimize_steps=25)
     assert hmm.backend.n_repl == 2
     # distinct thermal microstates per replica
@@ -59,8 +61,8 @@ def test_two_materials_coupled():
         seed=3,
     )
     specs = [
-        MaterialSpec(name="sic", force_field="sw", n_cells=1),
-        MaterialSpec(name="si2", force_field="sw", n_cells=2),  # different N
+        MaterialSpec(name="sic", force_field="sw", n_cells=2),
+        MaterialSpec(name="si2", force_field="sw", n_cells=3),  # different N
     ]
     hmm = build_md_hmm(cfg, specs=specs, equil_steps=0, minimize_steps=20)
     assert len(hmm.backends) == 2

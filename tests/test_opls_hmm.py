@@ -10,14 +10,16 @@ from scema_tpu.md import engine as E
 from scema_tpu.md.homogenization import MDParams
 from scema_tpu.hmm.md_coupling import build_md_hmm
 
-SPEC = M.MaterialSpec(name="g0", force_field="opls", n_chains=8, chain_length=4,
-                      opls_lj_cutoff=8.0, neighbor_k=48)
+# 27 chains x 4 beads => L ~ 15.3 A; cutoff 6 + skin 1 respects the
+# minimum-image bound (r_list <= L/2) that build_system now asserts
+SPEC = M.MaterialSpec(name="g0", force_field="opls", n_chains=27, chain_length=4,
+                      opls_lj_cutoff=6.0, opls_coul_cutoff=6.0, neighbor_k=48)
 
 
 def test_opls_melt_material_builds_and_equilibrates():
     params = MDParams(temperature=100.0, dt=1.0, strain_rate=1e-3, nsteps_sample=20)
     sys, st = M.build_system(SPEC)
-    assert sys.n_atoms == 8 * 4
+    assert sys.n_atoms == 27 * 4
     st = M.equilibrate(sys, st, params, jax.random.PRNGKey(0),
                        minimize_steps=100, equil_steps=50)
     assert np.isfinite(np.asarray(st.pos)).all()
@@ -27,7 +29,7 @@ def test_opls_melt_material_builds_and_equilibrates():
     # bonds survived equilibration
     from scema_tpu.md import data_io
 
-    melt = data_io.build_alkane_melt(8, 4)
+    melt = data_io.build_alkane_melt(27, 4)
     dr = np.asarray(st.pos)[melt.bonds[:, 1]] - np.asarray(st.pos)[melt.bonds[:, 0]]
     # chains may cross the periodic boundary: min-image the bond vectors
     L = melt.box[0, 0]
