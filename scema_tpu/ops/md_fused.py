@@ -86,7 +86,203 @@ class FusedSpec:
     r2min: float = 0.25  # close-range clamp (matches forcefields/lj.py)
     coul: bool = False
     coul_cutoff2: float = 0.0
+    bonded: bool = False  # chain-structured bonds/angles/dihedrals
     interpret: bool = False
+
+
+# topo channel rows (chain-structured bonded terms; term k starts at atom k)
+_T_BMASK = 0  # bond (i, i+1) exists
+_T_BK = 1
+_T_BR0 = 2
+_T_AMASK = 3  # angle (i, i+1, i+2)
+_T_AK = 4
+_T_ATH0 = 5
+_T_DMASK = 6  # dihedral (i, i+1, i+2, i+3)
+_T_DK1 = 7  # 7..10: OPLS K1..K4
+_TOPO = 16
+
+
+def _asin_poly(x):
+    """asin on [-0.5, 0.5] (Cephes single-precision minimax)."""
+    z = x * x
+    p = (((4.2163199048e-2 * z + 2.4181311049e-2) * z + 4.5470025998e-2) * z
+         + 7.4953002686e-2) * z + 1.6666752422e-1
+    return x + x * z * p
+
+
+def _acos_poly(x):
+    """Elementwise arccos from the asin kernel (Mosaic has no acos/atan2)."""
+    ax = jnp.abs(x)
+    small = ax <= 0.5
+    z = jnp.where(small, ax, jnp.sqrt(jnp.maximum((1.0 - ax) * 0.5, 1e-30)))
+    s = _asin_poly(z)
+    pos = jnp.where(small, jnp.pi / 2.0 - s, 2.0 * s)  # acos(|x|)
+    return jnp.where(x >= 0, pos, jnp.pi - pos)
+
+
+def _make_shifts(nt: int, in_kernel: bool):
+    """Global flat-order shift-by-one ops on (NT, 128) channel arrays.
+
+    Atom order is flat tile-major; chains are consecutive atoms, so bonded
+    neighbors are reachable by a lane roll plus a sublane fix at tile
+    edges (validated on v5e).  The wrap at the very last slot is harmless:
+    masks kill terms that cross chain (and hence padding) boundaries.
+    """
+    if in_kernel:
+        def fwd(x):  # y[i] = x[i+1]
+            xl = pltpu.roll(x, LANE - 1, 1)
+            xf = pltpu.roll(xl, nt - 1, 0) if nt > 1 else xl
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            return jnp.where(lane == LANE - 1, xf, xl)
+
+        def bwd(x):  # y[i] = x[i-1]
+            xr = pltpu.roll(x, 1, 1)
+            xb = pltpu.roll(xr, 1, 0) if nt > 1 else xr
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            return jnp.where(lane == 0, xb, xr)
+    else:
+        def fwd(x):
+            return jnp.roll(x.reshape(-1), -1).reshape(x.shape)
+
+        def bwd(x):
+            return jnp.roll(x.reshape(-1), 1).reshape(x.shape)
+    return fwd, bwd
+
+
+def bonded_chain_forces(px, py, pz, rows, nt, sample, in_kernel,
+                        use_poly_acos=True):
+    """Per-atom bonded forces for chain topologies via flat shifts.
+
+    rows: (16, NT, 128) topo channels (see _T_*).  Returns
+    (fx, fy, fz, w6) with w6 the Voigt virial sum F (x) r (None unless
+    ``sample``).  Shared verbatim between the Pallas kernel and the pure
+    jnp test twin (``in_kernel`` switches the shift implementation).
+
+    Physics: bond_style harmonic / angle_style harmonic / dihedral_style
+    opls (lammps_scripts_opls/in.set.lammps) — hand-derived forces; the
+    dihedral uses the Blondel-Karplus gradient with sin/cos multiples by
+    Chebyshev recursion (no trig calls).
+    """
+    s1, sb = _make_shifts(nt, in_kernel)
+    acos = _acos_poly if use_poly_acos else jnp.arccos
+    dt = px.dtype
+    tiny = jnp.asarray(1e-30, dt)
+
+    bmask = rows[_T_BMASK] > 0.5
+    amask = rows[_T_AMASK] > 0.5
+    dmask = rows[_T_DMASK] > 0.5
+
+    # bond vectors b_i = p_{i+1} - p_i (chains are never wrapped: the
+    # engine keeps positions continuous and pack_topo unwraps data files)
+    bx = s1(px) - px
+    by = s1(py) - py
+    bz = s1(pz) - pz
+    r2b = bx * bx + by * by + bz * bz
+    r2b_safe = jnp.where(bmask, r2b, 1.0)
+    rb = jnp.sqrt(r2b_safe)
+
+    # --- bonds: E = K (r - r0)^2
+    fb = jnp.where(bmask, 2.0 * rows[_T_BK] * (rb - rows[_T_BR0]) / rb, 0.0)
+    fx = fb * bx - sb(fb * bx)
+    fy = fb * by - sb(fb * by)
+    fz = fb * bz - sb(fb * bz)
+
+    # --- angles: term i = (i, i+1, i+2); r1 = -b_i, r2 = b_{i+1}
+    r2x, r2y, r2z = s1(bx), s1(by), s1(bz)
+    d11 = jnp.where(amask, r2b, 1.0)
+    d22 = jnp.where(amask, s1(r2b), 1.0)
+    d12 = -(bx * r2x + by * r2y + bz * r2z)
+    inv12 = jax.lax.rsqrt(d11 * d22)
+    c = jnp.clip(d12 * inv12, -1.0 + 1e-7, 1.0 - 1e-7)
+    th = acos(c)
+    sin_th = jnp.sqrt(jnp.maximum(1.0 - c * c, tiny))
+    aE = jnp.where(
+        amask, -2.0 * rows[_T_AK] * (th - rows[_T_ATH0]) / sin_th, 0.0
+    )
+    # dc/dr1 = r2/(|r1||r2|) - c r1/|r1|^2 (r1 = -b, r2 = s1(b))
+    g1x = r2x * inv12 - c * (-bx) / d11
+    g1y = r2y * inv12 - c * (-by) / d11
+    g1z = r2z * inv12 - c * (-bz) / d11
+    g2x = -bx * inv12 - c * r2x / d22
+    g2y = -by * inv12 - c * r2y / d22
+    g2z = -bz * inv12 - c * r2z / d22
+    # roles: F(atom i) = -aE g1; F(i+2) = -aE g2; F(i+1) = aE (g1 + g2)
+    fx = fx - aE * g1x + sb(aE * (g1x + g2x)) - sb(sb(aE * g2x))
+    fy = fy - aE * g1y + sb(aE * (g1y + g2y)) - sb(sb(aE * g2y))
+    fz = fz - aE * g1z + sb(aE * (g1z + g2z)) - sb(sb(aE * g2z))
+
+    # --- OPLS dihedrals: term i = (i..i+3); b1 = b_i, b2 = b_{i+1},
+    # b3 = b_{i+2}
+    b1x, b1y, b1z = bx, by, bz
+    b2x, b2y, b2z = r2x, r2y, r2z
+    b3x, b3y, b3z = s1(r2x), s1(r2y), s1(r2z)
+    n1x = b1y * b2z - b1z * b2y
+    n1y = b1z * b2x - b1x * b2z
+    n1z = b1x * b2y - b1y * b2x
+    n2x = b2y * b3z - b2z * b3y
+    n2y = b2z * b3x - b2x * b3z
+    n2z = b2x * b3y - b2y * b3x
+    n1sq = jnp.where(dmask, n1x * n1x + n1y * n1y + n1z * n1z, 1.0)
+    n2sq = jnp.where(dmask, n2x * n2x + n2y * n2y + n2z * n2z, 1.0)
+    b2sq = jnp.where(dmask, b2x * b2x + b2y * b2y + b2z * b2z, 1.0)
+    nb2 = jnp.sqrt(b2sq)
+    inv_nn = jax.lax.rsqrt(n1sq * n2sq)
+    cphi = (n1x * n2x + n1y * n2y + n1z * n2z) * inv_nn
+    # signed sine: (n1 x n2).b2 / (|n1||n2||b2|)
+    cxx = n1y * n2z - n1z * n2y
+    cxy = n1z * n2x - n1x * n2z
+    cxz = n1x * n2y - n1y * n2x
+    sphi = (cxx * b2x + cxy * b2y + cxz * b2z) * inv_nn / nb2
+    s_, c_ = sphi, cphi
+    sin2 = 2.0 * s_ * c_
+    sin3 = s_ * (3.0 - 4.0 * s_ * s_)
+    cos2 = 1.0 - 2.0 * s_ * s_
+    sin4 = 2.0 * sin2 * cos2
+    K1, K2 = rows[_T_DK1], rows[_T_DK1 + 1]
+    K3, K4 = rows[_T_DK1 + 2], rows[_T_DK1 + 3]
+    dEdphi = 0.5 * (-K1 * s_ + 2.0 * K2 * sin2 - 3.0 * K3 * sin3
+                    + 4.0 * K4 * sin4)
+    dEdphi = jnp.where(dmask, dEdphi, 0.0)
+    # Blondel-Karplus gradient
+    c0 = nb2 / n1sq
+    c3 = nb2 / n2sq
+    dp0x, dp0y, dp0z = -c0 * n1x, -c0 * n1y, -c0 * n1z  # dphi/dr0
+    dp3x, dp3y, dp3z = c3 * n2x, c3 * n2y, c3 * n2z     # dphi/dr3
+    # dphi/db2 = -ts dphi/db1 - tu dphi/db3 (verified against autodiff),
+    # so dp1 = -(1+ts) dp0 + tu dp3 and dp2 = ts dp0 - (1+tu) dp3
+    ts = (b1x * b2x + b1y * b2y + b1z * b2z) / b2sq
+    tu = (b3x * b2x + b3y * b2y + b3z * b2z) / b2sq
+    dp1x = -(1.0 + ts) * dp0x + tu * dp3x
+    dp1y = -(1.0 + ts) * dp0y + tu * dp3y
+    dp1z = -(1.0 + ts) * dp0z + tu * dp3z
+    dp2x = ts * dp0x - (1.0 + tu) * dp3x
+    dp2y = ts * dp0y - (1.0 + tu) * dp3y
+    dp2z = ts * dp0z - (1.0 + tu) * dp3z
+    # F_k = -dE/dphi * dphi/dr_k ; accumulate role k via k backward shifts
+    fx = fx - dEdphi * dp0x
+    fy = fy - dEdphi * dp0y
+    fz = fz - dEdphi * dp0z
+    fx = fx - sb(dEdphi * dp1x)
+    fy = fy - sb(dEdphi * dp1y)
+    fz = fz - sb(dEdphi * dp1z)
+    fx = fx - sb(sb(dEdphi * dp2x))
+    fy = fy - sb(sb(dEdphi * dp2y))
+    fz = fz - sb(sb(dEdphi * dp2z))
+    fx = fx - sb(sb(sb(dEdphi * dp3x)))
+    fy = fy - sb(sb(sb(dEdphi * dp3y)))
+    fz = fz - sb(sb(sb(dEdphi * dp3z)))
+
+    w6 = None
+    if sample:
+        # bonded virial = sum_i F_i (x) r_i (exact: every term's forces
+        # sum to zero, so the origin drops out)
+        w6 = (
+            jnp.sum(fx * px), jnp.sum(fy * py), jnp.sum(fz * pz),
+            0.5 * jnp.sum(fx * py + fy * px),
+            0.5 * jnp.sum(fx * pz + fz * px),
+            0.5 * jnp.sum(fy * pz + fz * py),
+        )
+    return fx, fy, fz, w6
 
 
 def _hcols(h6):
@@ -151,7 +347,7 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
         return gx, gy, gz
 
     def kernel(iscal_ref, fscal_ref, state_ref, idx_ref, w4e_ref, sig2_ref,
-               imx_ref, imy_ref, imz_ref, qq_ref,
+               imx_ref, imy_ref, imz_ref, qq_ref, topo_ref,
                state_out, sacc_ref):
         dtype = state_ref.dtype
         n_run = iscal_ref[0, _I_NRUN]
@@ -212,7 +408,17 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     w6[3] += 0.5 * jnp.sum(fpair * dx * dy)
                     w6[4] += 0.5 * jnp.sum(fpair * dx * dz)
                     w6[5] += 0.5 * jnp.sum(fpair * dy * dz)
-            return jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs), w6
+            fx, fy, fz = jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs)
+            if spec.bonded:
+                rows = topo_ref[0]
+                bfx, bfy, bfz, bw6 = bonded_chain_forces(
+                    px, py, pz, rows, NT, sample, in_kernel=not spec.interpret,
+                    use_poly_acos=not spec.interpret,
+                )
+                fx, fy, fz = fx + bfx, fy + bfy, fz + bfz
+                if sample:
+                    w6 = [w6[i] + bw6[i] for i in range(6)]
+            return fx, fy, fz, w6
 
         def nhc_half(vx, vy, vz, vxi):
             """Exact scalar twin of engine._nhc_half."""
@@ -341,6 +547,14 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
     else:
         qq_spec = pl.BlockSpec((1, K, NT, LANE), lambda: (0, 0, 0, 0))
         qq = qq[None]
+    topo = channels.get("topo")
+    if topo is None:
+        topo = jnp.zeros((1, 1, 1), dtype)  # placeholder, never read
+        topo_spec = pl.BlockSpec((1, 1, 1), lambda: (0, 0, 0),
+                                 memory_space=pl.ANY)
+    else:
+        topo_spec = pl.BlockSpec((1, _TOPO, NT, LANE), lambda: (0, 0, 0, 0))
+        topo = topo[None]
 
     nbr_spec = pl.BlockSpec((1, K, NT, LANE), lambda: (0, 0, 0, 0))
     out = pl.pallas_call(
@@ -360,6 +574,7 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
             nbr_spec,  # imy
             nbr_spec,  # imz
             qq_spec,
+            topo_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, 8, NT, LANE), lambda: (0, 0, 0, 0)),
@@ -370,7 +585,7 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
         iscal[None], fscal[None], state[None],
         channels["idx"][None], channels["w4e"][None], channels["sig2"][None],
         channels["imx"][None], channels["imy"][None], channels["imz"][None],
-        qq,
+        qq, topo,
     )
     st, sacc = out
     return st[0], sacc[0]
@@ -459,6 +674,58 @@ def pack_channels(pos, h, nbr: NB.NeighborList, eps_pair, sig_pair,
     if qq_pair is not None:
         out["qq"] = ch(qq_pair * w)
     return out
+
+
+def pack_topo(topo, par, n_atoms: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Chain topology -> (16, NT, 128) per-atom term channels.
+
+    Requires *linear-chain* topology in flat atom order: every bond is
+    (i, i+1), every angle (i, i+1, i+2), every dihedral (i..i+3), no
+    impropers — what data_io.build_alkane_melt produces.  Raises for
+    anything else (callers fall back to the XLA bonded path).
+    """
+    npad = pad_n(n_atoms)
+    NT = npad // LANE
+    rows = np.zeros((_TOPO, npad), dtype=np.float64)
+
+    bonds = np.asarray(topo.bonds)
+    btyp = np.asarray(topo.bond_type)
+    for arr, name, width in ((bonds, "bond", 2),
+                             (np.asarray(topo.angles), "angle", 3),
+                             (np.asarray(topo.dihedrals), "dihedral", 4)):
+        if arr.shape[0] and not (
+            arr == arr[:, :1] + np.arange(width)[None, :]
+        ).all():
+            raise ValueError(
+                f"pack_topo: non-chain {name} topology — use the XLA path"
+            )
+    if np.asarray(topo.impropers).shape[0]:
+        raise ValueError("pack_topo: impropers not supported in chain mode")
+
+    bk = np.asarray(par.bond_k)
+    br0 = np.asarray(par.bond_r0)
+    for (i, _j), t in zip(bonds, btyp):
+        if t < 0:
+            continue
+        rows[_T_BMASK, i] = 1.0
+        rows[_T_BK, i] = bk[t]
+        rows[_T_BR0, i] = br0[t]
+    ak = np.asarray(par.angle_k)
+    ath = np.asarray(par.angle_theta0)
+    for (i, _j, _k), t in zip(np.asarray(topo.angles), np.asarray(topo.angle_type)):
+        if t < 0:
+            continue
+        rows[_T_AMASK, i] = 1.0
+        rows[_T_AK, i] = ak[t]
+        rows[_T_ATH0, i] = ath[t]
+    dk = np.asarray(par.dihedral_k)
+    for (i, *_), t in zip(np.asarray(topo.dihedrals),
+                          np.asarray(topo.dihedral_type)):
+        if t < 0:
+            continue
+        rows[_T_DMASK, i] = 1.0
+        rows[_T_DK1:_T_DK1 + 4, i] = dk[t]
+    return jnp.asarray(rows.reshape(_TOPO, NT, LANE), dtype=dtype)
 
 
 def make_fscal(dt, T, h, eps=None, vxi=None, dtype=jnp.float32):

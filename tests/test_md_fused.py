@@ -88,6 +88,119 @@ def test_sample_chunk_matches_engine():
                        atol=1e-9)
 
 
+def test_bonded_chain_forces_match_autodiff():
+    """Roll-based bonded forces == -grad(bonded_energy) on an alkane melt."""
+    from scema_tpu.md import data_io
+    from scema_tpu.md.forcefields import bonded as BD
+
+    data = data_io.build_alkane_melt(8, 6)
+    n = len(data.pos)
+    topo = BD.Topology(
+        bonds=jnp.asarray(data.bonds), bond_type=jnp.asarray(data.bond_types),
+        angles=jnp.asarray(data.angles), angle_type=jnp.asarray(data.angle_types),
+        dihedrals=jnp.asarray(data.dihedrals),
+        dihedral_type=jnp.asarray(data.dihedral_types),
+        impropers=jnp.zeros((0, 4), jnp.int32),
+        improper_type=jnp.zeros((0,), jnp.int32),
+    )
+    par = BD.BondedParams(
+        bond_k=jnp.asarray(data.bond_coeffs[:, 0]),
+        bond_r0=jnp.asarray(data.bond_coeffs[:, 1]),
+        angle_k=jnp.asarray(data.angle_coeffs[:, 0]),
+        angle_theta0=jnp.deg2rad(jnp.asarray(data.angle_coeffs[:, 1])),
+        dihedral_k=jnp.asarray(data.dihedral_coeffs),
+        improper_k=jnp.zeros((1,)), improper_chi0=jnp.zeros((1,)),
+    )
+    pos = jnp.asarray(data.pos) + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), (n, 3))
+    h = jnp.asarray(data.box)
+
+    F_ref = -jax.grad(lambda p: BD.bonded_energy(p, h, topo, par))(pos)
+
+    rows = MF.pack_topo(topo, par, n, dtype=jnp.float64)
+    npad = MF.pad_n(n)
+    NT = npad // MF.LANE
+
+    def ch(x):
+        return jnp.pad(x, (0, npad - n)).reshape(NT, MF.LANE)
+
+    fx, fy, fz, w6 = MF.bonded_chain_forces(
+        ch(pos[:, 0]), ch(pos[:, 1]), ch(pos[:, 2]), rows, NT,
+        sample=True, in_kernel=False, use_poly_acos=False,
+    )
+    F = jnp.stack([fx.reshape(-1)[:n], fy.reshape(-1)[:n],
+                   fz.reshape(-1)[:n]], axis=-1)
+    assert np.allclose(np.asarray(F), np.asarray(F_ref), atol=1e-9)
+
+    # virial against the strain-derivative definition
+    def e_eps(eps):
+        Fd = jnp.eye(3) + eps
+        return BD.bonded_energy(pos @ Fd.T, Fd @ h, topo, par)
+
+    geps = jax.grad(e_eps)(jnp.zeros((3, 3)))
+    W_ref = -0.5 * (geps + geps.T)
+    W = np.array([[w6[0], w6[3], w6[4]], [w6[3], w6[1], w6[5]],
+                  [w6[4], w6[5], w6[2]]])
+    assert np.allclose(W, np.asarray(W_ref), atol=1e-8)
+
+
+def test_acos_poly_accuracy():
+    x = jnp.linspace(-0.9999, 0.9999, 4001, dtype=jnp.float64)
+    err = np.abs(np.asarray(MF._acos_poly(x)) - np.arccos(np.asarray(x)))
+    assert err.max() < 2e-7
+
+
+def test_opls_melt_chunk_matches_engine():
+    """Full OPLS melt (LJ + exclusions + bonded) fused chunk vs engine."""
+    from scema_tpu.md import data_io
+    from scema_tpu.md import material as M
+
+    spec_m = M.MaterialSpec(name="m", force_field="opls", n_chains=8,
+                            chain_length=6, opls_lj_cutoff=5.0,
+                            opls_coul_cutoff=5.0, validate=False,
+                            rebuild_every=6)
+    sys, st = M.build_system(spec_m)
+    vel = E.maxwell_velocities(sys, jax.random.PRNGKey(2), 100.0)
+    st = st._replace(vel=vel)
+    ff = sys.ff
+    n = sys.n_atoms
+    n_steps = 6
+
+    ref = E.run_nvt(sys, st, n_steps, 100.0, 1.0)
+    ref_s, press_ref = E.sample_stress(sys, st, n_steps, 100.0, 1.0)
+
+    nbr = NB.build(sys.nspec, st.pos, st.h)
+    ti = ff.types[:, None]
+    tj = ff.types[nbr.idx]
+    eps_pair = ff.lj_epsilon[ti, tj]
+    sig_pair = ff.lj_sigma[ti, tj]
+    wlj = ff._pair_weights(nbr, ff.special_lj)
+    kspec = MF.FusedSpec(
+        n_atoms=n, nt=MF.pad_n(n) // MF.LANE, k=nbr.idx.shape[1],
+        cutoff2=ff.lj_cutoff**2, ndof=sys.ndof, boltz=sys.units.boltz,
+        ftm2v=sys.units.ftm2v, nktv2p=sys.units.nktv2p, tdamp=sys.tdamp,
+        bonded=True, interpret=True,
+    )
+    state = MF.pack_state(st.pos, st.vel, sys.masses, sys.units.ftm2v,
+                          dtype=jnp.float64)
+    ch = MF.pack_channels(st.pos, st.h, nbr, eps_pair, sig_pair, weights=wlj)
+    ch["topo"] = MF.pack_topo(ff.topo, ff.bonded, n, dtype=jnp.float64)
+    fscal = MF.make_fscal(1.0, 100.0, st.h, dtype=jnp.float64)
+    iscal = MF.make_iscal(n_steps, 0, n_steps)
+
+    st2, _ = MF.fused_chunk(kspec, state, ch, iscal, fscal,
+                            deform=False, sample=False)
+    pos2, vel2 = MF.unpack_state(st2, n)
+    assert np.allclose(np.asarray(pos2), np.asarray(ref.pos), atol=1e-8)
+    assert np.allclose(np.asarray(vel2), np.asarray(ref.vel), atol=1e-8)
+
+    st3, sacc = MF.fused_chunk(kspec, state, ch, iscal, fscal,
+                               deform=False, sample=True)
+    press2 = MF.sacc_press(sacc) / n_steps
+    assert np.allclose(np.asarray(press2), np.asarray(press_ref),
+                       rtol=1e-7, atol=1e-7)
+
+
 def test_dynamic_step_count():
     """n_run < allocated loop budget integrates exactly n_run steps."""
     sys, st = build_lj()
