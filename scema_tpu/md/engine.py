@@ -52,6 +52,7 @@ class MDSystem:
     grid: object = None  # grid.GridSpec — use the gather-free cell grid
     onehot: object = None  # neighbor_onehot.OneHotSpec — MXU one-hot gather
     constraints: object = None  # constraints.Constraints — SHAKE/RATTLE
+    fused: object = None  # md_fused.FusedRunner — fused Pallas chunk path
 
     @property
     def n_atoms(self) -> int:
@@ -245,7 +246,14 @@ def run_strain(
     (per-job, nts = ceil(|eps|/rate/dt/10)*10, stmd_problem.h:228-232) but
     is always a multiple of rebuild_every=10, so the loop runs in chunks of
     10 with one neighbor rebuild per chunk.
+
+    With sys.fused set, the whole chunk loop runs in the fused Pallas
+    kernel (ops/md_fused.py) — same semantics, VMEM-resident state.
     """
+    if sys.fused is not None and sys.constraints is None:
+        from ..ops import md_fused as MFU
+
+        return MFU.run_strain_fused(sys.fused, state, eps_eff, n_steps, T, dt)
     h0 = state.h
     n_steps = jnp.maximum(n_steps, sys.rebuild_every)
     n_chunks = n_steps // sys.rebuild_every
@@ -340,6 +348,10 @@ def sample_stress(
     converts to Pa as ``-p * 1.01325e5`` (stmd_problem.h:335-341) — the
     conversion is left to the caller (homogenization.py).
     """
+    if sys.fused is not None and sys.constraints is None:
+        from ..ops import md_fused as MFU
+
+        return MFU.sample_stress_fused(sys.fused, state, n_steps, T, dt)
     n_chunks = max(1, n_steps // sys.rebuild_every)
 
     def chunk(st, _):

@@ -63,6 +63,10 @@ class MaterialSpec:
     # setup-time sanity checks (min-image bound, k_max coverage, cell
     # capacity); disable only for deliberately unphysical test fixtures
     validate: bool = True
+    # fused Pallas chunk kernel (ops/md_fused.py) for the lj/opls hot
+    # loops; None = auto (on for TPU backends, off on CPU where the
+    # kernel would run interpreted)
+    use_fused: bool | None = None
 
 
 @dataclass(frozen=True)
@@ -110,6 +114,76 @@ def _validate_setup(spec: MaterialSpec, pos, h, nspec: NB.NeighborSpec) -> None:
         )
 
 
+def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
+    """FusedRunner for lj/opls force fields (ops/md_fused.py), or None.
+
+    Auto policy: fused on TPU-class backends, XLA elsewhere (the Pallas
+    kernel only runs interpreted on CPU).  Ewald systems and non-chain
+    topologies fall back to the XLA path.
+    """
+    use = spec.use_fused
+    if use is None:
+        use = jax.default_backend() != "cpu"
+    if not use:
+        return None
+    from ..ops import md_fused as MFU
+
+    n = int(masses.shape[0])
+    topo_ch = None
+    bonded = False
+    coul = False
+    qq_table = None
+    weights_fn = None
+    if hasattr(ff, "topo"):  # OPLS composite
+        if ff.ewald is not None:
+            return None  # reciprocal-space part has no fused path yet
+        try:
+            topo_ch = MFU.pack_topo(ff.topo, ff.bonded, n, dtype=dtype)
+            bonded = True
+        except ValueError:
+            return None  # non-chain topology: XLA fallback
+        eps_table, sig_table, types = ff.lj_epsilon, ff.lj_sigma, ff.types
+        cutoff2 = float(ff.lj_cutoff) ** 2
+        weights_fn = lambda nbr: ff._pair_weights(nbr, ff.special_lj)
+        if bool(jnp.any(jnp.asarray(ff.charges) != 0.0)):
+            from .forcefields.coulomb import QQR2E_REAL
+
+            coul = True
+            qq_table = jnp.asarray(ff.charges, dtype) * np.sqrt(QQR2E_REAL)
+    elif hasattr(ff, "epsilon") and hasattr(ff, "types"):  # plain LJ
+        eps_table, sig_table, types = ff.epsilon, ff.sigma, ff.types
+        cutoff2 = float(ff.cutoff) ** 2
+    else:
+        return None  # SW and others: no fused path yet
+
+    kspec = MFU.FusedSpec(
+        n_atoms=n,
+        nt=MFU.pad_n(n) // MFU.LANE,
+        k=nspec.k_max,
+        cutoff2=cutoff2,
+        ndof=3 * n - 3,
+        boltz=REAL.boltz,
+        ftm2v=REAL.ftm2v,
+        nktv2p=REAL.nktv2p,
+        coul=coul,
+        coul_cutoff2=float(getattr(ff, "coul_cutoff", 0.0)) ** 2,
+        bonded=bonded,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return MFU.FusedRunner(
+        spec=kspec,
+        nspec=nspec,
+        masses=masses,
+        eps_table=jnp.asarray(eps_table, dtype),
+        sig_table=jnp.asarray(sig_table, dtype),
+        types=jnp.asarray(types, jnp.int32),
+        rebuild_every=spec.rebuild_every,
+        weights_fn=weights_fn,
+        topo=topo_ch,
+        qq_table=qq_table,
+    )
+
+
 def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
     use_onehot = False
     if spec.force_field == "sw":
@@ -131,6 +205,7 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         ff = LJmod.single_type(spec.lj_epsilon, spec.lj_sigma, spec.lj_cutoff, n, dtype)
         cutoff = spec.lj_cutoff
         k_max = max(spec.neighbor_k, NB.required_k(n, np.asarray(h), cutoff + 1.0))
+        k_max = ((k_max + 7) // 8) * 8
     elif spec.force_field == "opls":
         from . import data_io
 
@@ -150,15 +225,19 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         # drops in-cutoff pairs (wrong LJ/Coulomb stresses)
         k_max = max(spec.neighbor_k,
                     NB.required_k(n, data.box, cutoff + 1.0))
+        k_max = ((k_max + 7) // 8) * 8  # sublane-aligned for the fused path
         nspec = NB.derive_spec(n, data.box, cutoff=cutoff, skin=1.0, k_max=k_max)
         if spec.validate:
             _validate_setup(spec, data.pos, data.box, nspec)
+        masses = jnp.asarray(data.masses[data.types], dtype=dtype)
+        fused = _build_fused_runner(spec, ff, masses, nspec, dtype)
         sys = E.MDSystem(
             ff=ff,
-            masses=jnp.asarray(data.masses[data.types], dtype=dtype),
+            masses=masses,
             nspec=nspec,
             units=REAL,
             rebuild_every=spec.rebuild_every,
+            fused=fused,
         )
         st = E.init_state(jnp.asarray(data.pos, dtype=dtype),
                           jnp.asarray(data.box, dtype=dtype))
@@ -195,13 +274,18 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         ohspec = OH.derive_onehot_spec(n, np.asarray(h), cutoff=cutoff,
                                        skin=1.0, k=k_max)
         ff = OH.SWOneHot(sw=ff, spec=ohspec)
+    masses = jnp.full((n,), spec.mass, dtype=dtype)
+    fused = None
+    if spec.force_field == "lj":
+        fused = _build_fused_runner(spec, ff, masses, nspec, dtype)
     sys = E.MDSystem(
         ff=ff,
-        masses=jnp.full((n,), spec.mass, dtype=dtype),
+        masses=masses,
         nspec=nspec,
         units=REAL,
         rebuild_every=spec.rebuild_every,
         onehot=ohspec,
+        fused=fused,
     )
     st = E.init_state(jnp.asarray(pos, dtype=dtype), jnp.asarray(h, dtype=dtype))
     return sys, st

@@ -626,15 +626,36 @@ def unpack_state(state, n):
 
 
 def pack_channels(pos, h, nbr: NB.NeighborList, eps_pair, sig_pair,
-                  weights=None, qq_pair=None, dtype=None):
+                  weights=None, qq_pair=None, dtype=None, k_pad=None):
     """Neighbor channels from a built list.
 
     eps_pair/sig_pair/weights/qq_pair: (N, K) per-slot values (already
     type-resolved).  Returns dict of (K, NT, 128) channels; invalid slots
-    carry w4e = 0 and image 0.
+    carry w4e = 0 and image 0.  ``k_pad`` widens the slot axis with dead
+    slots (the dense list builder caps K at n-1, which may undershoot the
+    static kernel width).
     """
     dtype = dtype or pos.dtype
     n, k = nbr.idx.shape
+    if k_pad is not None and k_pad > k:
+        extra = k_pad - k
+        nbr = NB.NeighborList(
+            idx=jnp.concatenate(
+                [nbr.idx, jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[:, None], (n, extra))],
+                axis=1),
+            mask=jnp.concatenate(
+                [nbr.mask, jnp.zeros((n, extra), bool)], axis=1),
+        )
+        pad2 = lambda x: jnp.concatenate(
+            [x, jnp.zeros((n, extra), x.dtype)], axis=1)
+        eps_pair = pad2(eps_pair)
+        sig_pair = pad2(sig_pair)
+        if weights is not None:
+            weights = pad2(weights)
+        if qq_pair is not None:
+            qq_pair = pad2(qq_pair)
+        k = k_pad
     npad = pad_n(n)
     NT = npad // LANE
 
@@ -757,3 +778,107 @@ def sacc_vxi(sacc):
 
 def sacc_press(sacc):
     return sacc[_S_PRESS:_S_PRESS + 6]
+
+
+# --------------------------------------------------------------------------
+# Engine-pluggable runner: chunked strain/NVT/sampling runs with XLA
+# neighbor rebuilds between fused chunks (md/engine.py dispatches here
+# when MDSystem.fused is set).
+
+
+@dataclass(frozen=True)
+class FusedRunner:
+    """Static fused-path configuration for one MD system.
+
+    ``weights_fn(nbr) -> (N, K)`` provides special-bonds LJ weights (OPLS);
+    ``topo`` is the packed chain-topology channel block or None.
+    """
+
+    spec: FusedSpec
+    nspec: NB.NeighborSpec
+    masses: jax.Array  # (N,)
+    eps_table: jax.Array  # (ntypes, ntypes)
+    sig_table: jax.Array
+    types: jax.Array  # (N,) int32
+    rebuild_every: int
+    weights_fn: object = None
+    topo: object = None
+    qq_table: object = None  # (N,) charge * sqrt(qqr2e) when coul
+
+    def channels(self, pos, h):
+        nbr = NB.build(self.nspec, pos, h)
+        ti = self.types[:, None]
+        tj = self.types[nbr.idx]
+        eps_pair = self.eps_table[ti, tj]
+        sig_pair = self.sig_table[ti, tj]
+        w = self.weights_fn(nbr) if self.weights_fn is not None else None
+        qq = None
+        if self.qq_table is not None:
+            qq = self.qq_table[:, None] * self.qq_table[nbr.idx]
+        ch = pack_channels(pos, h, nbr, eps_pair, sig_pair, weights=w,
+                           qq_pair=qq, dtype=pos.dtype, k_pad=self.spec.k)
+        if self.topo is not None:
+            ch["topo"] = self.topo.astype(pos.dtype)
+        return ch
+
+
+def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
+    """engine.run_strain semantics on the fused kernel (chunked rebuilds)."""
+    from ..md import engine as E
+
+    spec = runner.spec
+    R = runner.rebuild_every
+    n_steps = jnp.maximum(jnp.asarray(n_steps), R)
+    n_chunks = n_steps // R
+    h0 = state.h
+    dtype = state.pos.dtype
+    eps = jnp.asarray(eps_eff, dtype)
+
+    def chunk(c, carry):
+        pos, vel, vxi = carry
+        gstep0 = c * R
+        frac = gstep0.astype(dtype) / n_steps.astype(dtype)
+        h_c = B.deform_path(h0, eps, frac)
+        ch = runner.channels(pos, h_c)
+        st8 = pack_state(pos, vel, runner.masses, spec.ftm2v, dtype=dtype)
+        fscal = make_fscal(dt, T, h0, eps=eps, vxi=vxi, dtype=dtype)
+        iscal = make_iscal(R, gstep0, n_steps)
+        st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
+                                deform=True, sample=False)
+        pos, vel = unpack_state(st8, spec.n_atoms)
+        return pos, vel, sacc_vxi(sacc)
+
+    pos, vel, vxi = jax.lax.fori_loop(
+        0, n_chunks, chunk, (state.pos, state.vel, state.vxi)
+    )
+    frac_end = (n_chunks * R).astype(dtype) / n_steps.astype(dtype)
+    h_end = B.deform_path(h0, eps, frac_end)
+    return E.MDState(pos=pos, vel=vel, h=h_end, vxi=vxi)
+
+
+def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
+    """engine.sample_stress semantics on the fused kernel."""
+    from ..md import engine as E
+
+    spec = runner.spec
+    R = runner.rebuild_every
+    n_chunks = max(1, n_steps // R)
+    dtype = state.pos.dtype
+    h = state.h
+
+    def chunk(carry, _):
+        pos, vel, vxi = carry
+        ch = runner.channels(pos, h)
+        st8 = pack_state(pos, vel, runner.masses, spec.ftm2v, dtype=dtype)
+        fscal = make_fscal(dt, T, h, vxi=vxi, dtype=dtype)
+        iscal = make_iscal(R, 0, 1)
+        st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
+                                deform=False, sample=True)
+        pos, vel = unpack_state(st8, spec.n_atoms)
+        return (pos, vel, sacc_vxi(sacc)), sacc_press(sacc)
+
+    (pos, vel, vxi), accs = jax.lax.scan(
+        chunk, (state.pos, state.vel, state.vxi), None, length=n_chunks
+    )
+    press = jnp.sum(accs, axis=0) / (n_chunks * R)
+    return E.MDState(pos=pos, vel=vel, h=h, vxi=vxi), press

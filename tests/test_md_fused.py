@@ -201,6 +201,63 @@ def test_opls_melt_chunk_matches_engine():
                        rtol=1e-7, atol=1e-7)
 
 
+def test_fused_runner_full_md_job_matches_xla():
+    """strain_and_homogenize through MDSystem.fused == the XLA path."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    common = dict(name="m", force_field="opls", n_chains=8, chain_length=6,
+                  opls_lj_cutoff=5.0, opls_coul_cutoff=5.0, validate=False,
+                  rebuild_every=10)
+    sys_x, st_x = M.build_system(M.MaterialSpec(**common, use_fused=False))
+    sys_f, st_f = M.build_system(M.MaterialSpec(**common, use_fused=True))
+    assert sys_f.fused is not None and sys_x.fused is None
+
+    vel = E.maxwell_velocities(sys_x, jax.random.PRNGKey(3), 100.0)
+    st_x = st_x._replace(vel=vel)
+    st_f = st_f._replace(vel=vel)
+    params = MDParams(temperature=100.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.02, 0.0, -0.01, 0.005, 0.0, 0.0])
+
+    out_x, sig_x = strain_and_homogenize(sys_x, st_x, dl, params)
+    out_f, sig_f = strain_and_homogenize(sys_f, st_f, dl, params)
+
+    assert np.allclose(np.asarray(out_f.pos), np.asarray(out_x.pos), atol=1e-7)
+    assert np.allclose(np.asarray(out_f.h), np.asarray(out_x.h), atol=1e-12)
+    assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-6,
+                       atol=1e2)  # Pa scale; stresses are ~1e7
+
+
+def test_fused_runner_vmapped_jobs():
+    """The HMM dispatch pattern: vmap over jobs with per-job step counts."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    sys_f, st0 = M.build_system(M.MaterialSpec(
+        name="m", force_field="opls", n_chains=8, chain_length=6,
+        opls_lj_cutoff=5.0, opls_coul_cutoff=5.0, validate=False,
+        use_fused=True))
+    params = MDParams(temperature=100.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    vel = E.maxwell_velocities(sys_f, jax.random.PRNGKey(4), 100.0)
+    st0 = st0._replace(vel=vel)
+    dls = jnp.asarray([[0.02, 0.0, 0.0, 0.0, 0.0, 0.0],
+                       [-0.01, 0.01, 0.0, 0.0, 0.0, 0.005]])
+    sts = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), st0)
+
+    outs, sigs = jax.vmap(
+        lambda s, d: strain_and_homogenize(sys_f, s, d, params)
+    )(sts, dls)
+    assert np.isfinite(np.asarray(sigs)).all()
+    assert not np.allclose(np.asarray(sigs[0]), np.asarray(sigs[1]))
+
+    # lane 0 must equal the unbatched run (vmap adds no cross-talk)
+    _, sig_single = strain_and_homogenize(sys_f, st0, dls[0], params)
+    assert np.allclose(np.asarray(sigs[0]), np.asarray(sig_single),
+                       rtol=1e-9, atol=1e-9)
+
+
 def test_dynamic_step_count():
     """n_run < allocated loop budget integrates exactly n_run steps."""
     sys, st = build_lj()
