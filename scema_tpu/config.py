@@ -351,4 +351,12 @@ def load_config(path: str, **overrides) -> HMMConfig:
         cand = os.path.join(os.path.dirname(os.path.abspath(path)), mf)
         if os.path.exists(cand):
             cfg = cfg.replace(mesh=dataclasses.replace(cfg.mesh, mesh_file=cand))
+    # the nanoscale-input dir (replica metadata + init.* files) resolves the
+    # same way — configs ship with paths relative to their own location
+    nd = cfg.dirs.nanoscale_input
+    if nd and not os.path.isabs(nd) and not os.path.isdir(nd):
+        cand = os.path.join(os.path.dirname(os.path.abspath(path)), nd)
+        if os.path.isdir(cand):
+            cfg = cfg.replace(
+                dirs=dataclasses.replace(cfg.dirs, nanoscale_input=cand))
     return cfg

@@ -379,6 +379,17 @@ def build_md_hmm(
         n_dev = device_mesh.shape["md"]
         max_jobs = ((max_jobs + n_dev - 1) // n_dev) * n_dev
 
+    # per-replica nanostructure metadata: orientation (normal_vector ->
+    # rotation to common ground), density, and any pre-measured init.*
+    # equilibration data (stmd_sync.h:280-489); missing files fall back
+    # to identity orientation + on-device measurement
+    from ..bridging.replica_data import load_replica_metadata
+
+    meta = load_replica_metadata(
+        cfg.dirs.nanoscale_input, materials, n_repl,
+        cg_vector=cfg.material.common_ground_vector,
+    )
+
     # material initialization (init_material equivalent): each material x
     # replica equilibrated with its own thermal seed and measured
     # independently (init_material_sync/problem.h per-replica data)
@@ -393,11 +404,30 @@ def build_md_hmm(
                                  minimize_steps=minimize_steps,
                                  equil_steps=equil_steps)
             rep_states.append(st_r)
-            rep_data.append(M.measure(sys, st_r, params))
+            mr = meta[mi][r]
+            if mr.length is not None and mr.stress is not None \
+                    and mr.stiff is not None:
+                # reference-format init.* files take precedence (the
+                # load_replica_equilibration_data path)
+                rep_data.append(M.InitData(
+                    length=mr.length, stress=mr.stress, stiff=mr.stiff,
+                    density=mr.rho if mr.rho is not None else 1000.0,
+                ))
+            else:
+                measured = M.measure(sys, st_r, params)
+                if mr.rho is not None:
+                    measured = M.InitData(
+                        length=measured.length, stress=measured.stress,
+                        stiff=measured.stiff, density=mr.rho,
+                    )
+                rep_data.append(measured)
         st0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rep_states)
 
+        rotams = jnp.stack(
+            [jnp.asarray(meta[mi][r].rotam, dtype=dtype) for r in range(n_repl)]
+        )[None]  # (1, n_repl, 3, 3)
         ens = bridge.ReplicaEnsemble(
-            rotam=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (1, n_repl, 3, 3)),
+            rotam=rotams,
             init_length=jnp.stack(
                 [jnp.asarray(d.length, dtype=dtype) for d in rep_data])[None],
             init_stress=jnp.stack(

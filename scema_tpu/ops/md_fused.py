@@ -559,6 +559,10 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
     nbr_spec = pl.BlockSpec((1, K, NT, LANE), lambda: (0, 0, 0, 0))
     out = pl.pallas_call(
         kern,
+        # wide-K channel sets (OPLS ~232 slots) exceed Mosaic's default
+        # 16M scoped-vmem budget; v5e has far more physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=(
             jax.ShapeDtypeStruct((1, 8, NT, LANE), dtype),
             jax.ShapeDtypeStruct((1, _SACC), dtype),
