@@ -149,6 +149,101 @@ def save_surrogate(path: str, model: Surrogate) -> None:
         )
 
 
+def load_keras_surrogate(
+    model_path: str, scaler_path: str | None = None, dtype=jnp.float64
+) -> Surrogate:
+    """Import the reference's pretrained Keras surrogate + sklearn scaler.
+
+    reference: surrogate_model/model_small_uniaxial.bin is a Keras-2 HDF5
+    save of a Sequential relu-Dense stack (18->18->36->72->72->36->18->6,
+    linear output) and scaler.pkl is a pickled sklearn MinMaxScaler fitted
+    on the 18 inputs only (surrogate_model/surrogate.py:7-29 applies
+    ``scaler.transform`` to the input then ``model.predict`` — the output
+    is unscaled).  Keras ``Dense`` computes x @ kernel + bias with kernel
+    shaped (in, out) — identical to flax ``nn.Dense`` — so the weights map
+    layer-for-layer onto :class:`SurrogateMLP`.
+
+    The scaler transform is xs = x * scale_ + min_; our standardizer form
+    ``(x - x_mean) / x_std`` absorbs it with x_std = 1/scale_ and
+    x_mean = -min_/scale_.  The pickle is parsed structurally (no sklearn
+    import needed) so version skew in the pickled estimator is harmless.
+    """
+    import h5py
+    import numpy as np
+
+    with h5py.File(model_path, "r") as f:
+        g = f["model_weights"]
+        layer_names = [
+            n.decode() if isinstance(n, bytes) else str(n)
+            for n in g.attrs["layer_names"]
+        ]
+        kernels, biases = [], []
+        for ln in layer_names:
+            lg = g[ln]
+            wnames = [
+                w.decode() if isinstance(w, bytes) else str(w)
+                for w in lg.attrs["weight_names"]
+            ]
+            kernels.append(np.array(lg[next(w for w in wnames if "kernel" in w)]))
+            biases.append(np.array(lg[next(w for w in wnames if "bias" in w)]))
+
+    hidden = tuple(int(k.shape[1]) for k in kernels[:-1])
+    module = SurrogateMLP(hidden=hidden)
+    params = {
+        "params": {
+            f"Dense_{i}": {
+                "kernel": jnp.asarray(k, dtype),
+                "bias": jnp.asarray(b, dtype),
+            }
+            for i, (k, b) in enumerate(zip(kernels, biases))
+        }
+    }
+
+    x_mean = jnp.zeros(kernels[0].shape[0], dtype)
+    x_std = jnp.ones(kernels[0].shape[0], dtype)
+    if scaler_path is not None:
+        scale, mini = _read_minmax_scaler(scaler_path)
+        x_std = jnp.asarray(1.0 / scale, dtype)
+        x_mean = jnp.asarray(-mini / scale, dtype)
+
+    n_out = biases[-1].shape[0]
+    return Surrogate(
+        params=params,
+        x_mean=x_mean,
+        x_std=x_std,
+        y_mean=jnp.zeros(n_out, dtype),
+        y_std=jnp.ones(n_out, dtype),
+        module=module,
+    )
+
+
+def _read_minmax_scaler(path: str):
+    """Extract (scale_, min_) from a pickled sklearn MinMaxScaler without
+    importing sklearn (the reference pickle predates current sklearn; a
+    structural unpickler sidesteps the version check entirely)."""
+    import pickle
+    import numpy as np
+
+    class _Shell:
+        def __init__(self, *a, **k):
+            pass
+
+        def __setstate__(self, state):
+            self.__dict__.update(state if isinstance(state, dict) else {})
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith("sklearn"):
+                return type(name, (_Shell,), {"__module__": module})
+            return super().find_class(module, name)
+
+    with open(path, "rb") as f:
+        obj = _Unpickler(f).load()
+    scale = np.asarray(obj.scale_, dtype=np.float64)
+    mini = np.asarray(obj.min_, dtype=np.float64)
+    return scale, mini
+
+
 def load_surrogate(path: str) -> Surrogate:
     import pickle
 

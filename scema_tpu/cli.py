@@ -54,8 +54,28 @@ def cmd_run(args) -> int:
 
     n_steps = args.steps or (cfg.time.end_timestep - cfg.time.start_timestep + 1)
 
+    surrogate_fn = None
+    if args.surrogate:
+        # reference pretrained Keras surrogate + sklearn scaler
+        # (surrogate_model/surrogate.py); point at the directory holding
+        # model_small_uniaxial.bin + scaler.pkl, or at the .bin itself
+        import os as _os
+
+        from .bridging.surrogate import load_keras_surrogate
+
+        sp = args.surrogate
+        if _os.path.isdir(sp):
+            model_p = _os.path.join(sp, "model_small_uniaxial.bin")
+            scaler_p = _os.path.join(sp, "scaler.pkl")
+        else:
+            model_p = sp
+            scaler_p = _os.path.join(_os.path.dirname(sp), "scaler.pkl")
+        scaler_p = scaler_p if _os.path.exists(scaler_p) else None
+        surrogate_fn = load_keras_surrogate(model_p, scaler_p).as_update_fn()
+        print(f"Loaded surrogate {model_p} (scaler: {scaler_p})")
+
     if cfg.bridging.approx_md_with_hookes_law or cfg.bridging.stress_method != 0:
-        hmm = build_hooke_hmm(cfg)
+        hmm = build_hooke_hmm(cfg, surrogate_fn=surrogate_fn)
     else:
         from .hmm.md_coupling import build_md_hmm
 
@@ -288,6 +308,9 @@ def main(argv=None) -> int:
                     help="capture a jax.profiler trace of the run to this dir")
     pr.add_argument("--max-jobs", type=int, default=0,
                     help="cap the static MD job-list capacity")
+    pr.add_argument("--surrogate", default="",
+                    help="stress method 2: path to a Keras surrogate .bin "
+                         "(or its directory with scaler.pkl)")
     pr.set_defaults(fn=cmd_run)
 
     pi = sub.add_parser("init-material", help="equilibrate materials, measure stiffness")
