@@ -96,6 +96,31 @@ def cmd_run(args) -> int:
     if args.restart:
         state = load_checkpoint(args.restart, state)
         print(f"Restarted from {args.restart} at timestep {int(fe_of(state).timestep)}")
+    if args.restart_reference:
+        # reference-produced lcts.* restart (FE_problem.h:540-712)
+        from .fem.reference_restart import load_reference_restart
+
+        mesh = hmm.base.problem.mesh if hasattr(hmm, "base") else hmm.problem.mesh
+        if hasattr(state, "timestep"):
+            state = load_reference_restart(
+                args.restart_reference, state, hmm.geom, mesh)
+        else:
+            state = (load_reference_restart(
+                args.restart_reference, state[0], hmm.geom, mesh),) + tuple(
+                state[1:])
+        # the reference resumes the step counter from the config's 'start
+        # timestep'; infer it from the restored physical time so the
+        # timestep-1 load increment is not re-applied on resume
+        import jax.numpy as jnp
+
+        ts0 = int(round(float(fe_of(state).time) / cfg.time.timestep_length))
+        if hasattr(state, "timestep"):
+            state = state._replace(timestep=jnp.asarray(ts0, jnp.int32))
+        else:
+            state = (state[0]._replace(timestep=jnp.asarray(ts0, jnp.int32)),
+                     ) + tuple(state[1:])
+        print(f"Restored reference restart from {args.restart_reference} "
+              f"at time {float(fe_of(state).time):.6g} (timestep {ts0})")
 
     writer = None
     if args.outdir:
@@ -131,6 +156,10 @@ def cmd_run(args) -> int:
                 writer.write_lhistory(fe, ts)
             if ts % o.checkpoint_frequency == 0:
                 save_checkpoint(f"{args.outdir}/checkpoint-{ts:06d}.npz", state)
+                # reference-format lcts.* alongside (FE_problem.h:2278-2335)
+                from .fem.reference_restart import save_reference_checkpoint
+
+                save_reference_checkpoint(f"{args.outdir}/restart", fe, mesh)
     if args.profile:
         jax.profiler.stop_trace()
         print(f"Profiler trace written to {args.profile}")
@@ -304,6 +333,8 @@ def main(argv=None) -> int:
     pr.add_argument("--cpu", action="store_true", help="run on CPU in float64")
     pr.add_argument("--outdir", default="", help="write VTK/CSV/checkpoints here")
     pr.add_argument("--restart", default="", help="restore from a checkpoint npz")
+    pr.add_argument("--restart-reference", default="",
+                    help="restore from a reference-produced lcts.* restart dir")
     pr.add_argument("--profile", default="",
                     help="capture a jax.profiler trace of the run to this dir")
     pr.add_argument("--max-jobs", type=int, default=0,

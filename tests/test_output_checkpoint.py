@@ -79,3 +79,73 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
 
     for a, b in zip(jax.tree_util.tree_leaves(s_cont), jax.tree_util.tree_leaves(s_rest)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------- reference lcts.* IO
+
+def test_dealii_block_vector_roundtrip(tmp_path):
+    """Byte-exact deal.II Vector::block_write format (FE_problem.h:2289)."""
+    from scema_tpu.fem.reference_restart import (
+        read_dealii_vector, write_dealii_vector,
+    )
+
+    v = np.linspace(-1.5, 2.5, 17)
+    p = str(tmp_path / "lcts.solution.bin")
+    write_dealii_vector(p, v)
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"17\n[") and raw.endswith(b"]")
+    assert len(raw) == len(b"17\n[") + 17 * 8 + 1
+    got = read_dealii_vector(p)
+    assert np.array_equal(got, v)
+
+
+def test_lhistory_roundtrip(tmp_path):
+    from scema_tpu.fem.reference_restart import read_lhistory, write_lhistory
+
+    rng = np.random.default_rng(3)
+    n_cells, nq = 2, 8
+    upd = rng.normal(size=(n_cells * nq, 6))
+    sig = rng.normal(size=(n_cells * nq, 6)) * 1e8
+    mat = np.zeros(n_cells * nq, dtype=int)
+    write_lhistory(str(tmp_path / "lcts.pr_0.lhistory.bin"), 2.5e-6, mat,
+                   upd, sig, nq)
+    t, upd2, sig2 = read_lhistory(str(tmp_path), n_cells, nq)
+    assert t == 2.5e-6
+    assert np.allclose(upd2, upd, rtol=1e-14)
+    assert np.allclose(sig2, sig, rtol=1e-14)
+
+
+def test_reference_restart_continuation(tmp_path):
+    """Save a reference-format checkpoint mid-run, restore into a FRESH
+    problem, continue — final stress field matches the uninterrupted run
+    (the reference's own restart loses history splines and sticky flags,
+    both inert here: clustering min_steps > n_steps, flags re-trigger at
+    1e-10 immediately)."""
+    from scema_tpu.fem.reference_restart import (
+        save_reference_checkpoint, load_reference_restart,
+    )
+    import jax.numpy as jnp
+
+    hmm = small_hmm()
+    step = jax.jit(hmm.step)
+
+    state = hmm.init_state()
+    for _ in range(10):
+        state, _ = step(state)
+    sig_full = np.asarray(state.qp.new_stress)
+
+    state = hmm.init_state()
+    for _ in range(5):
+        state, _ = step(state)
+    save_reference_checkpoint(str(tmp_path), state, hmm.problem.mesh)
+
+    hmm2 = small_hmm()
+    s2 = hmm2.init_state()
+    s2 = load_reference_restart(str(tmp_path), s2, hmm2.geom,
+                                hmm2.problem.mesh)
+    s2 = s2._replace(timestep=jnp.asarray(5, jnp.int32))
+    for _ in range(5):
+        s2, _ = step(s2)
+    sig_resumed = np.asarray(s2.qp.new_stress)
+    scale = np.abs(sig_full).max()
+    assert np.abs(sig_resumed - sig_full).max() / scale < 1e-9
