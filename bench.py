@@ -1,27 +1,76 @@
 """Benchmark: wall-clock per HMM macro-step, dogbone OPLS (BASELINE.md's
-primary tracked metric).
+primary tracked metric) — plus the MD-throughput target in extra keys.
 
 Runs the reference's own inputs_dogbone_cuboid.json — 3x3x8 mesh, 576 qps,
 stress method 0 with the on-device OPLS melt MD at every flagged qp
-(216-atom united-atom boxes, bonded + LJ, fix-deform straining + virial
-sampling per job; auto job capacity 256/step with round-robin coverage).
+(512-atom united-atom boxes, bonded + LJ + Coulomb, fix-deform straining +
+virial sampling per job).  Melt prep uses the reference's staged
+heatup/cooldown NPT cycle (in.init.lammps).  Job capacity covers every
+flagged qp per step — the reference's semantics (stmd_sync.h:570-618) —
+and the JSON line reports jobs *executed*.
 
 vs_baseline: the reference's only end-to-end wall-clock anchor is the
-streched_polyhedron example, ~4 min for 2 macro-steps (~120 s/step on 2 MPI
-ranks with 16 MD jobs/step; examples/streched_polyhedron/README.md).  Our
-steps carry ~27x more MD jobs; vs_baseline = 120 / seconds_per_step is
+streched_polyhedron example, ~4 min for 2 macro-steps (~120 s/step on 2
+MPI ranks with 16 MD jobs/step; examples/streched_polyhedron/README.md).
+Our steps carry ~36x more MD jobs; vs_baseline = 120 / seconds_per_step is
 therefore a conservative comparison.
 
-Falls back to the raw MD throughput metric if the coupled run fails
-(the axon backend occasionally faults on large programs).
+Extra keys speak to BASELINE.md's second target (MD replica throughput
+>= 10x a 24-core MPI node): md_atom_steps_per_sec measures the production
+fused-kernel path on the same OPLS melt; md_vs_24core_node divides by
+2.4e7 atom-steps/s (24 cores x ~1e6 atom-steps/s/core, LAMMPS
+united-atom LJ+bonded class performance), so >= 10 meets the target.
 """
 import json
 import sys
 import time
 
+LAMMPS_24CORE_ATOM_STEPS = 2.4e7
+
+
+def bench_md_throughput_fused():
+    """Production MD path throughput: batched OPLS jobs via the fused
+    Pallas chunk kernel, measured as atom-steps/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scema_tpu.md import material as M
+    from scema_tpu.md import engine as E
+    from scema_tpu.md.homogenization import MDParams
+
+    n_jobs = 64
+    spec = M.MaterialSpec(name="g0", force_field="opls")
+    sys_, st0 = M.build_system(spec, dtype=jnp.float32)
+    params = MDParams(temperature=300.0, dt=2.0, strain_rate=1e-4,
+                      nsteps_sample=100)
+    key = jax.random.PRNGKey(0)
+    st0 = M.equilibrate(sys_, st0, params, key, minimize_steps=50,
+                        equil_steps=50)
+    n_steps = 500
+    eps = jnp.zeros((n_jobs, 6), jnp.float32).at[:, 2].set(
+        jnp.linspace(1e-4, 5e-4, n_jobs))
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_jobs,) + x.shape), st0)
+
+    @jax.jit
+    def run(b, e):
+        return jax.vmap(
+            lambda s, ee: E.run_strain(sys_, s, ee, jnp.asarray(n_steps),
+                                       300.0, 2.0)
+        )(b, e)
+
+    out = run(batch, eps)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(batch, eps)
+    float(np.asarray(out.pos[0, 0, 0]))  # real sync through the axon tunnel
+    dt_s = time.perf_counter() - t0
+    return n_jobs * sys_.n_atoms * n_steps / dt_s
+
 
 def bench_hmm_opls():
     import jax
+    import numpy as np
     from scema_tpu.config import load_config
     from scema_tpu.hmm.md_coupling import build_md_hmm
 
@@ -29,7 +78,7 @@ def bench_hmm_opls():
         "/root/reference/input_configurations/inputs_dogbone_cuboid.json",
         dtype="float32", md_dtype="float32",
     )
-    hmm = build_md_hmm(cfg, equil_steps=50, minimize_steps=50)
+    hmm = build_md_hmm(cfg, staged=True, ns_init=100, minimize_steps=100)
     print(f"[bench] dogbone OPLS: {hmm.geom.n_qp_total} qps, "
           f"{hmm.backend.sys.n_atoms} atoms/box, capacity {hmm.backend.max_jobs}",
           file=sys.stderr)
@@ -42,71 +91,51 @@ def bench_hmm_opls():
     t0 = time.perf_counter()
     for _ in range(n):
         carry, out = step(carry)
-    jax.block_until_ready(carry)
     # force a real sync (block_until_ready is a no-op on the axon tunnel)
-    import numpy as np
-
     float(np.asarray(carry[0].u[0]))
     dt_s = (time.perf_counter() - t0) / n
+    jobs = int(out.n_jobs)
     print(f"[bench] {n} macro-steps, {dt_s:.2f} s/step, "
-          f"{int(out.n_jobs)} MD jobs in the last step", file=sys.stderr)
-    return {
-        "metric": "hmm_macro_step_s_dogbone_opls",
-        "value": round(dt_s, 2),
-        "unit": "s/step",
-        "vs_baseline": round(120.0 / dt_s, 2),
-    }
-
-
-def bench_md_throughput():
-    import jax
-    import jax.numpy as jnp
-    from scema_tpu.md import material as M
-    from scema_tpu.md import engine as E
-
-    n_jobs = 16
-    spec = M.MaterialSpec(name="sic", force_field="sw", n_cells=6,
-                          rebuild_every=50)  # skin 1.0 A supports 50 steps
-                                             # of solid-state vibration
-    sys_, st0 = M.build_system(spec, dtype=jnp.float32)
-    key = jax.random.PRNGKey(0)
-    st0 = st0._replace(vel=E.maxwell_velocities(sys_, key, 300.0, dtype=jnp.float32))
-    eps = jnp.zeros((n_jobs, 6), jnp.float32).at[:, 2].set(
-        jnp.linspace(1e-3, 5e-3, n_jobs))
-    batch = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (n_jobs,) + x.shape), st0)
-    n_steps = 500
-
-    @jax.jit
-    def run(b, e):
-        return jax.vmap(
-            lambda s, ee: E.run_strain(sys_, s, ee, jnp.asarray(n_steps), 300.0, 1.0)
-        )(b, e)
-
-    out = run(batch, eps)
-    jax.block_until_ready(out)
-    import numpy as np
-
-    t0 = time.perf_counter()
-    out = run(batch, eps)
-    float(np.asarray(out.pos[0, 0, 0]))
-    dt_s = time.perf_counter() - t0
-    rate = n_jobs * sys_.n_atoms * n_steps / dt_s
-    return {
-        "metric": "md_sw_atom_steps_per_sec",
-        "value": round(rate, 0),
-        "unit": "atom-steps/s",
-        "vs_baseline": round(rate / 3.0e7, 2),
-    }
+          f"{jobs} MD jobs executed in the last step", file=sys.stderr)
+    return dt_s, jobs
 
 
 def main():
+    result = {}
     try:
-        result = bench_hmm_opls()
-    except Exception as e:  # noqa: BLE001 — fall back on device faults
-        print(f"[bench] coupled run failed ({type(e).__name__}); "
-              f"falling back to MD throughput", file=sys.stderr)
-        result = bench_md_throughput()
+        md_rate = bench_md_throughput_fused()
+        print(f"[bench] fused OPLS MD: {md_rate:.3e} atom-steps/s "
+              f"({md_rate / LAMMPS_24CORE_ATOM_STEPS:.1f}x a 24-core node)",
+              file=sys.stderr)
+        result.update(
+            md_atom_steps_per_sec=round(md_rate, 0),
+            md_vs_24core_node=round(md_rate / LAMMPS_24CORE_ATOM_STEPS, 2),
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] MD throughput failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    try:
+        dt_s, jobs = bench_hmm_opls()
+        result.update(
+            metric="hmm_macro_step_s_dogbone_opls",
+            value=round(dt_s, 2),
+            unit="s/step",
+            vs_baseline=round(120.0 / dt_s, 2),
+            md_jobs_executed=jobs,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] coupled run failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        if "md_atom_steps_per_sec" in result:
+            result.update(
+                metric="md_opls_atom_steps_per_sec",
+                value=result["md_atom_steps_per_sec"],
+                unit="atom-steps/s",
+                vs_baseline=result["md_vs_24core_node"],
+            )
+        else:
+            raise
     print(json.dumps(result))
 
 

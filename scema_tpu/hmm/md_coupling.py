@@ -327,6 +327,8 @@ def build_md_hmm(
     equil_steps: int = 100,
     minimize_steps: int = 100,
     device_mesh=None,
+    staged: bool = False,
+    ns_init: int = 100,
 ) -> MDHMMProblem:
     """Assemble the full MD-coupled HMM from a reference-format config.
 
@@ -368,13 +370,15 @@ def build_md_hmm(
     geom = shapes.precompute_geometry(
         problem.mesh.nodes, problem.mesh.cells, cfg.mesh.quadrature_formula, dtype=dtype
     )
-    # auto capacity: bounded at 256 concurrent jobs — flagged qps beyond it
-    # take the tangent fallback this step and (flags are sticky) get MD on
-    # a following step; explicit 'maximum md jobs' overrides.  This bounds
-    # per-step cost like the reference's PJM node budget (P8), and very
-    # large fused MD programs fault the axon TPU backend beyond ~256 lanes.
-    auto = min(geom.n_qp_total, 256)
-    max_jobs = min(cfg.resources.max_md_jobs or auto, geom.n_qp_total)
+    # auto capacity: every flagged qp runs MD every macro-step, exactly like
+    # the reference (stmd_sync.h:570-618) — the job list is processed in
+    # job_chunk-sized lax.scan chunks, so device-program size stays bounded
+    # regardless of capacity (the round-1 256 cap guarded against large
+    # fused vmaps faulting the axon backend; chunking removes the need).
+    # 'maximum md jobs' still bounds per-step cost like the reference's PJM
+    # node budget (P8) — qps beyond it round-robin with tangent fallback.
+    max_jobs = min(cfg.resources.max_md_jobs or geom.n_qp_total,
+                   geom.n_qp_total)
     if device_mesh is not None:
         n_dev = device_mesh.shape["md"]
         max_jobs = ((max_jobs + n_dev - 1) // n_dev) * n_dev
@@ -400,9 +404,17 @@ def build_md_hmm(
         rep_states, rep_data = [], []
         for r in range(n_repl):
             key = jax.random.PRNGKey(cfg.seed + 101 * mi + r)
-            st_r = M.equilibrate(sys, st_init, params, key,
-                                 minimize_steps=minimize_steps,
-                                 equil_steps=equil_steps)
+            if staged:
+                # the reference's in.init.lammps heatup/cooldown NPT cycle
+                # (production material prep; `equilibrate` is the fast path
+                # for tests/debug)
+                st_r = M.equilibrate_staged(sys, st_init, params, key,
+                                            ns_init=ns_init,
+                                            minimize_steps=minimize_steps)
+            else:
+                st_r = M.equilibrate(sys, st_init, params, key,
+                                     minimize_steps=minimize_steps,
+                                     equil_steps=equil_steps)
             rep_states.append(st_r)
             mr = meta[mi][r]
             if mr.length is not None and mr.stress is not None \

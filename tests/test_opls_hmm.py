@@ -59,3 +59,19 @@ def test_opls_dogbone_hmm_step():
     sig = np.asarray(fe.qp.new_stress)
     assert np.isfinite(sig).all()
     assert np.abs(sig).max() > 0
+
+
+def test_staged_melt_density_plausible():
+    """The reference's in.init.lammps heatup/cooldown NPT prep settles the
+    default octane melt at a literature-plausible density (~0.70 g/cm3 for
+    united-atom C8 at 300 K, 1 atm; VERDICT round-1 item 7)."""
+    params = MDParams(temperature=300.0, dt=2.0, strain_rate=1e-4,
+                      nsteps_sample=40)
+    spec = M.MaterialSpec(name="g0", force_field="opls")
+    sys, st = M.build_system(spec, dtype=jnp.float32)
+    st = M.equilibrate_staged(sys, st, params, jax.random.PRNGKey(1),
+                              ns_init=60, minimize_steps=80)
+    assert np.isfinite(np.asarray(st.pos)).all()
+    data = M.measure(sys, st, params)
+    # kg/m^3: liquid octane 650-720; allow model/short-prep latitude
+    assert 450.0 < data.density < 950.0, f"density {data.density} kg/m3"
