@@ -38,7 +38,7 @@ def bench_md_throughput_fused():
     from scema_tpu.md import engine as E
     from scema_tpu.md.homogenization import MDParams
 
-    n_jobs = 64
+    n_jobs = 576  # the dogbone job count; small batches are launch-bound
     spec = M.MaterialSpec(name="g0", force_field="opls")
     sys_, st0 = M.build_system(spec, dtype=jnp.float32)
     params = MDParams(temperature=300.0, dt=2.0, strain_rate=1e-4,

@@ -291,13 +291,19 @@ def write_lammpstrj(path: str, pos, h, types=None, timestep: int = 0,
 
 
 def to_opls(data: MolecularData, lj_cutoff: float = 12.0, coul_cutoff: float = 9.0,
-            use_ewald: bool = True, dtype=None):
-    """Build an OPLS force field + MDSystem inputs from MolecularData."""
+            use_ewald: bool = True, dtype=None, kspace: str = "auto"):
+    """Build an OPLS force field + MDSystem inputs from MolecularData.
+
+    kspace: 'ewald' (dense reciprocal sum), 'pme' (FFT mesh — the
+    reference's ``kspace_style pppm``), or 'auto' (dense below 2048 atoms,
+    PME above — the crossover where O(N n_k) loses to O(K^3 log K)).
+    """
     import jax.numpy as jnp
 
     from .forcefields import opls as O
     from .forcefields import bonded as BD
     from .forcefields.coulomb import Ewald
+    from .forcefields.pme import PME
 
     dtype = dtype or jnp.float64
     eps66, sig66 = O.mix_geometric(
@@ -335,7 +341,9 @@ def to_opls(data: MolecularData, lj_cutoff: float = 12.0, coul_cutoff: float = 9
     excl, _ = O.build_exclusions(len(data.pos), data.bonds)
     ewald = None
     if use_ewald and np.abs(data.charges).max() > 0:
-        ewald = Ewald.create(data.charges, coul_cutoff, data.box, dtype=dtype)
+        use_pme = kspace == "pme" or (kspace == "auto" and len(data.pos) >= 2048)
+        maker = PME if use_pme else Ewald
+        ewald = maker.create(data.charges, coul_cutoff, data.box, dtype=dtype)
     ff = O.OPLS(
         types=jnp.asarray(data.types, dtype=jnp.int32),
         charges=jnp.asarray(data.charges, dtype=dtype),

@@ -170,6 +170,45 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         bonded=bonded,
         interpret=jax.default_backend() == "cpu",
     )
+    packed = _runner_pair_classes(
+        n, types, eps_table, sig_table, weights_fn, qq_table, nspec
+    )
+    pair_cls = lut_w4e = lut_sig2 = lut_qq = None
+    if packed is not None:
+        pair_cls, lut_w4e, lut_sig2, lut_qq = packed
+
+    # all-pairs mode for small boxes (the HMM's per-qp regime): dense
+    # position-independent parameter matrices -> zero rebuilds, one kernel
+    # call per MD run.  VMEM budget: 3 x NPAD^2 floats (3 MB at 512 atoms).
+    dense_w4e = dense_sig2 = dense_qq = None
+    allpairs = n <= 640  # _build_fused_runner is only reached when fused
+    if allpairs:
+        ti = np.asarray(types)[:, None]
+        tj = np.asarray(types)[None, :]
+        eps_m = np.asarray(eps_table)[ti, tj]
+        sig_m = np.asarray(sig_table)[ti, tj]
+        W = np.ones((n, n))
+        if weights_fn is not None:
+            full = NB.NeighborList(
+                idx=jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[None, :], (n, n)),
+                mask=~jnp.eye(n, dtype=bool),
+            )
+            W = np.array(weights_fn(full))  # copy: jax arrays are read-only
+        np.fill_diagonal(W, 0.0)
+        npad = MFU.pad_n(n)
+
+        def dense(mat):
+            out = np.zeros((npad, npad))
+            out[:n, :n] = mat
+            return jnp.asarray(out, dtype)
+
+        dense_w4e = dense(4.0 * eps_m * W)
+        dense_sig2 = dense(sig_m * sig_m)
+        if qq_table is not None:
+            q = np.asarray(qq_table)
+            dense_qq = dense(q[:, None] * q[None, :] * W)
+        kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True})
     return MFU.FusedRunner(
         spec=kspec,
         nspec=nspec,
@@ -181,7 +220,57 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         weights_fn=weights_fn,
         topo=topo_ch,
         qq_table=qq_table,
+        pair_cls=pair_cls,
+        lut_w4e=lut_w4e,
+        lut_sig2=lut_sig2,
+        lut_qq=lut_qq,
+        dense_w4e=dense_w4e,
+        dense_sig2=dense_sig2,
+        dense_qq=dense_qq,
     )
+
+
+def _runner_pair_classes(n, types, eps_table, sig_table, weights_fn,
+                         qq_table, nspec):
+    """(pair_cls, lut_w4e, lut_sig2, lut_qq) for the packed dense rebuild,
+    or None when inapplicable (too many distinct pair parameter combos, or
+    the box is outside the dense-rebuild regime).
+
+    Every candidate pair's kernel inputs (4*eps*weight, sigma^2, qq) are
+    constant across the run, so they collapse into a <=16-entry LUT whose
+    index rides the packed top_k payload (neighbor.build_dense_packed).
+    """
+    import numpy as np
+
+    if n > min(nspec.n2_threshold, 2048):
+        return None  # dense O(N^2) rebuild regime only
+    ti = np.asarray(types)[:, None]
+    tj = np.asarray(types)[None, :]
+    eps = np.asarray(eps_table)[ti, tj]
+    sig = np.asarray(sig_table)[ti, tj]
+    W = np.ones((n, n))
+    if weights_fn is not None:
+        import jax.numpy as _jnp
+
+        full = NB.NeighborList(
+            idx=_jnp.broadcast_to(_jnp.arange(n, dtype=_jnp.int32)[None, :],
+                                  (n, n)),
+            mask=~_jnp.eye(n, dtype=bool),
+        )
+        W = np.asarray(weights_fn(full))
+    w4e = 4.0 * eps * W
+    sig2 = sig * sig
+    cols = [w4e.ravel(), sig2.ravel()]
+    if qq_table is not None:
+        q = np.asarray(qq_table)
+        cols.append((q[:, None] * q[None, :]).ravel() * W.ravel())
+    stacked = np.stack(cols, axis=1)
+    combos, cls_flat = np.unique(stacked, axis=0, return_inverse=True)
+    if combos.shape[0] > 16:
+        return None  # payload budget: 4 class bits
+    pair_cls = jnp.asarray(cls_flat.reshape(n, n).astype(np.int32))
+    lut_qq = combos[:, 2] if qq_table is not None else None
+    return pair_cls, combos[:, 0], combos[:, 1], lut_qq
 
 
 def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:

@@ -280,3 +280,89 @@ def test_dynamic_step_count():
     ref3 = E.run_nvt(sys3, st3r, 3, 40.0, 2.0)
     pos3, _ = MF.unpack_state(st3, sys.n_atoms)
     assert np.allclose(np.asarray(pos3), np.asarray(ref3.pos), atol=1e-10)
+
+
+def test_packed_rebuild_matches_generic_channels():
+    """The payload-packed single-top_k rebuild produces the same channel
+    content (as per-row slot sets) as the generic gather path."""
+    from scema_tpu.md import material as M
+
+    spec = M.MaterialSpec(name="g0", force_field="opls", n_chains=27,
+                          chain_length=4, opls_lj_cutoff=6.0,
+                          opls_coul_cutoff=6.0, neighbor_k=48,
+                          use_fused=True)
+    sys, st = M.build_system(spec, dtype=jnp.float64)
+    r = sys.fused
+    assert r is not None and r.pair_cls is not None
+
+    # jiggle positions so images/neighbors are non-trivial
+    key = jax.random.PRNGKey(7)
+    pos = st.pos + 0.2 * jax.random.normal(key, st.pos.shape, st.pos.dtype)
+
+    fast = r._channels_packed(pos, st.h)
+    import dataclasses
+
+    r_generic = dataclasses.replace(
+        r, pair_cls=None,
+        spec=dataclasses.replace(r.spec, allpairs=False),
+    )
+    slow = r_generic.channels(pos, st.h)
+
+    def rows(ch):
+        """(K, NT, 128) channels -> per-atom sorted slot tuples."""
+        n = sys.n_atoms
+        K = ch["idx"].shape[0]
+        out = {}
+        for name in ("idx", "w4e", "sig2", "imx", "imy", "imz", "qq"):
+            if name not in ch:
+                continue
+            a = np.asarray(ch[name]).reshape(K, -1)[:, :n].T  # (n, K)
+            out[name] = a
+        return out
+
+    fa, sa = rows(fast), rows(slow)
+    assert set(fa) == set(sa)
+    n = sys.n_atoms
+    for i in range(n):
+        # valid slots only (w4e == 0 rows are dead either way, but idx and
+        # images must agree on live ones); sort by neighbor id
+        def live(d):
+            sel = d["w4e"][i] != 0.0
+            order = np.argsort(d["idx"][i][sel], kind="stable")
+            return {k: v[i][sel][order] for k, v in d.items()}
+
+        lf, ls = live(fa), live(sa)
+        assert np.array_equal(lf["idx"], ls["idx"]), f"atom {i}"
+        for name in lf:
+            assert np.allclose(lf[name], ls[name], rtol=1e-12, atol=1e-12), (
+                f"channel {name} atom {i}"
+            )
+
+
+def test_allpairs_multitile_matches_xla():
+    """All-pairs tile-pair kernel across >1 lane tile (transposes + tile
+    pair loop + min-image rounding) == the XLA engine path."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    common = dict(name="m", force_field="opls", n_chains=32, chain_length=6,
+                  opls_lj_cutoff=6.0, opls_coul_cutoff=6.0, validate=False,
+                  rebuild_every=10)
+    sys_x, st_x = M.build_system(M.MaterialSpec(**common, use_fused=False))
+    sys_f, st_f = M.build_system(M.MaterialSpec(**common, use_fused=True))
+    assert sys_f.fused.spec.allpairs and sys_f.fused.spec.nt == 2
+
+    # relax built-melt overlaps first or both paths blow up
+    st_x = E.minimize_fire(sys_x, st_x, n_steps=150, dt0=0.5)
+    vel = E.maxwell_velocities(sys_x, jax.random.PRNGKey(5), 80.0)
+    st_x = st_x._replace(vel=vel)
+    st_f = st_x
+    params = MDParams(temperature=80.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, -0.01, 0.02, 0.0, 0.004, 0.0])
+
+    out_x, sig_x = strain_and_homogenize(sys_x, st_x, dl, params)
+    out_f, sig_f = strain_and_homogenize(sys_f, st_f, dl, params)
+    assert np.allclose(np.asarray(out_f.pos), np.asarray(out_x.pos), atol=1e-7)
+    assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-6,
+                       atol=1e2)

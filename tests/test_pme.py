@@ -1,0 +1,108 @@
+"""Particle-mesh Ewald vs dense Ewald: the reference's kspace_style pppm
+1e-4 accuracy target (lammps_scripts_opls/in.set.lammps)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scema_tpu.md import neighbor as NB
+from scema_tpu.md.forcefields.coulomb import Ewald, QQR2E_REAL
+from scema_tpu.md.forcefields.pme import PME, bspline_m, _euler_b2
+
+
+def nacl(ncell=2):
+    a = 5.64
+    pos, charges = [], []
+    for i in range(2 * ncell):
+        for j in range(2 * ncell):
+            for k in range(2 * ncell):
+                pos.append([i, j, k])
+                charges.append(1.0 if (i + j + k) % 2 == 0 else -1.0)
+    pos = np.asarray(pos, dtype=float) * a / 2
+    return pos, np.asarray(charges), np.eye(3) * a * ncell, a
+
+
+def test_bspline_partition_of_unity():
+    u = np.random.default_rng(0).uniform(0, 1, 64)
+    w = np.stack([bspline_m(5, u + j) for j in range(5)])
+    assert np.allclose(w.sum(axis=0), 1.0, atol=1e-12)
+    assert (w >= -1e-15).all()
+
+
+def test_pme_matches_ewald_nacl_madelung():
+    pos, charges, h, a = nacl(2)
+    n = len(pos)
+    pme = PME.create(charges, cutoff=5.5, h0=h, accuracy=1e-6)
+    spec = NB.NeighborSpec(cutoff=5.5, skin=0.1, k_max=64)
+    nbr = NB.build(spec, jnp.asarray(pos), jnp.asarray(h))
+    e = float(
+        pme.real_space_energy(jnp.asarray(pos), jnp.asarray(h), nbr)
+        + pme.reciprocal_energy(jnp.asarray(pos), jnp.asarray(h))
+        + pme.self_energy()
+    )
+    madelung = 1.7475646
+    expect = -madelung * QQR2E_REAL * n / (a / 2) / 2.0
+    assert np.isclose(e, expect, rtol=1e-4)
+
+
+def test_pme_reciprocal_matches_ewald_random_box():
+    """Disordered charges, neutral box: reciprocal energies agree to the
+    script's 1e-4 accuracy; forces (autodiff) agree too."""
+    rng = np.random.default_rng(3)
+    n = 96
+    L = 18.0
+    pos = rng.uniform(0, L, (n, 3))
+    q = rng.normal(size=n)
+    q -= q.mean()  # neutralize
+    h = np.eye(3) * L
+
+    ew = Ewald.create(q, cutoff=7.0, h0=h, accuracy=1e-5)
+    pme = PME.create(q, cutoff=7.0, h0=h, accuracy=1e-5)
+    assert pme.alpha == ew.alpha
+
+    pj, hj = jnp.asarray(pos), jnp.asarray(h)
+    e_ew = float(ew.reciprocal_energy(pj, hj))
+    e_pme = float(pme.reciprocal_energy(pj, hj))
+    assert abs(e_pme - e_ew) / abs(e_ew) < 1e-4
+
+    f_ew = jax.grad(lambda p: ew.reciprocal_energy(p, hj))(pj)
+    f_pme = jax.grad(lambda p: pme.reciprocal_energy(p, hj))(pj)
+    scale = np.abs(np.asarray(f_ew)).max()
+    assert np.abs(np.asarray(f_pme) - np.asarray(f_ew)).max() / scale < 1e-3
+
+
+def test_pme_triclinic_box():
+    """Tilted box: fractional-coordinate spreading + general inv_h k-space
+    keep PME exact vs dense Ewald."""
+    rng = np.random.default_rng(5)
+    n = 64
+    h = np.array([[16.0, 1.2, 0.8], [0.0, 15.0, 1.0], [0.0, 0.0, 17.0]])
+    s = rng.uniform(0, 1, (n, 3))
+    pos = s @ h.T
+    q = rng.normal(size=n)
+    q -= q.mean()
+
+    ew = Ewald.create(q, cutoff=6.0, h0=h, accuracy=1e-5)
+    pme = PME.create(q, cutoff=6.0, h0=h, accuracy=1e-5)
+    pj, hj = jnp.asarray(pos), jnp.asarray(h)
+    e_ew = float(ew.reciprocal_energy(pj, hj))
+    e_pme = float(pme.reciprocal_energy(pj, hj))
+    assert abs(e_pme - e_ew) / abs(e_ew) < 3e-4
+
+
+def test_opls_kspace_auto_selects_pme():
+    from scema_tpu.md import data_io
+
+    import dataclasses
+
+    data = data_io.build_alkane_melt(8, 6)
+    data = dataclasses.replace(data, charges=np.where(
+        np.arange(len(data.pos)) % 2 == 0, 0.1, -0.1))
+    ff_e = data_io.to_opls(data, lj_cutoff=6.0, coul_cutoff=6.0,
+                           use_ewald=True, kspace="ewald")
+    ff_p = data_io.to_opls(data, lj_cutoff=6.0, coul_cutoff=6.0,
+                           use_ewald=True, kspace="pme")
+    assert isinstance(ff_p.ewald, PME) and isinstance(ff_e.ewald, Ewald)
+    pj, hj = jnp.asarray(data.pos), jnp.asarray(data.box)
+    e1 = float(ff_e.ewald.reciprocal_energy(pj, hj))
+    e2 = float(ff_p.ewald.reciprocal_energy(pj, hj))
+    assert abs(e2 - e1) / max(abs(e1), 1e-9) < 1e-3
