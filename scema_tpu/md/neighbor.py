@@ -201,6 +201,12 @@ def build_dense_packed(
 
     valid = ~jnp.eye(n, dtype=bool)
     in_range = valid & (dr2 < spec.r_list**2)
+    # NOTE: 2-bit payload images assume shifts in {-1,0,1} — true for
+    # wrapped or slowly-diffusing coordinates.  The engine keeps positions
+    # continuous (bonded chains need it), so after >1 box length of net
+    # drift a pair's true shift exceeds the payload range; typical HMM
+    # runs (<1 ns) drift far less.  The all-pairs kernel path computes
+    # images in-kernel with full-range round() and has no such limit.
     imi = jnp.clip(img.astype(jnp.int32) + 1, 0, 2)
     img_bits = (imi[..., 0] << 4) | (imi[..., 1] << 2) | imi[..., 2]
     cand = jnp.arange(n, dtype=jnp.int32)[None, :]
