@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def reduce_graph(adj: jax.Array, max_picks: int = 128) -> jax.Array:
+def reduce_graph(adj: jax.Array, max_picks: int = 512) -> jax.Array:
     """(n, n) bool adjacency -> (n,) int32 mapping (qp -> source qp).
 
     Nodes outside the graph (no edges) map to themselves.
@@ -27,12 +27,15 @@ def reduce_graph(adj: jax.Array, max_picks: int = 128) -> jax.Array:
     * a static-bound fori_loop with a no-op guard instead of the natural
       while_loop — dynamic-trip-count loops nested under other control
       flow hang the axon TPU backend;
-    * the loop is capped at ``max_picks`` greedy picks (the reference's
-      networkx run typically converges in a handful of iterations for
-      smooth strain fields); qps not reached by then keep the identity
-      mapping, i.e. they run their own MD — a conservative fallback that
-      only costs extra MD, never wrong stresses.  Uncapped, the masked
-      loop would be O(n^3) in flagged qps.
+    * the loop is capped at ``max_picks`` greedy picks; qps not reached by
+      then keep the identity mapping, i.e. they run their own MD — a
+      conservative fallback that only costs extra MD, never wrong
+      stresses.  Uncapped, the masked loop would be O(n^3) in flagged qps.
+      Measured on v5e at 4608 qps with smooth strain fields (similarity
+      thresholds spanning 1-10% of pair distances): convergence takes up
+      to ~124 picks and a 512-pick loop costs 40-70 ms — so 512 is cheap
+      insurance where the old 128 default was within 4 picks of
+      truncating real dedup.
     """
     n = adj.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
