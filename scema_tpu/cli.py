@@ -128,6 +128,8 @@ def cmd_run(args) -> int:
 
         mesh = hmm.base.problem.mesh if hasattr(hmm, "base") else hmm.problem.mesh
         writer = OutputWriter(args.outdir, mesh.nodes, mesh.cells)
+        # mesh wireframe EPS at init (FEProblem::visualise_mesh)
+        writer.write_mesh_eps()
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -154,6 +156,15 @@ def cmd_run(args) -> int:
                 writer.write_lbc_force(ts, float(fe.time), float(out.reaction_force))
             if ts % o.analytics_frequency == 0:
                 writer.write_lhistory(fe, ts)
+            if out.md_stress_repl is not None and ts % o.homogenization_frequency == 0:
+                import numpy as _np
+
+                ran = _np.nonzero(_np.asarray(out.md_ran))[0]
+                writer.write_mddata(
+                    ts, ran, _np.asarray(fe.qp.material), out.md_strain_cg,
+                    out.md_stress_repl, cfg.md.temperature,
+                    cfg.md.strain_rate, cfg.md.force_field,
+                )
             if ts % o.checkpoint_frequency == 0:
                 save_checkpoint(f"{args.outdir}/checkpoint-{ts:06d}.npz", state)
                 # reference-format lcts.* alongside (FE_problem.h:2278-2335)

@@ -87,6 +87,33 @@ def write_vtu(
         f.write(xml)
 
 
+def write_pvtu(path: str, pieces: list[str], point_data: dict,
+               cell_data: dict) -> None:
+    """Parallel-collection master referencing per-rank .vtu pieces
+    (DataOut::write_pvtu_record, FE_problem.h:2238-2241)."""
+    def decls(data):
+        out = []
+        for name, arr in data.items():
+            arr = np.asarray(arr)
+            nc = 1 if arr.ndim == 1 else arr.shape[1]
+            out.append(f'      <PDataArray type="Float64" Name="{name}" '
+                       f'NumberOfComponents="{nc}"/>\n')
+        return "".join(out)
+
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="PUnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n')
+        f.write('  <PUnstructuredGrid GhostLevel="0">\n')
+        f.write('    <PPoints>\n      <PDataArray type="Float64" '
+                'NumberOfComponents="3"/>\n    </PPoints>\n')
+        f.write("    <PPointData>\n" + decls(point_data) + "    </PPointData>\n")
+        f.write("    <PCellData>\n" + decls(cell_data) + "    </PCellData>\n")
+        for p in pieces:
+            f.write(f'    <Piece Source="{p}"/>\n')
+        f.write("  </PUnstructuredGrid>\n</VTKFile>\n")
+
+
 def write_pvd(path: str, entries: list[tuple[float, str]]) -> None:
     """ParaView .pvd collection (the reference's .pvd master,
     FE_problem.h:2232-2253)."""
@@ -141,9 +168,96 @@ class OutputWriter:
             wrote = write_vtu_native(path, self.nodes, self.cells, point_data, cell_data)
         if not wrote:
             write_vtu(path, self.nodes, self.cells, point_data, cell_data)
-        self.pvd_entries.append((time, fname))
+        # parallel-collection masters alongside, as the reference emits
+        # per step (FE_problem.h:2232-2253): a .pvtu referencing the
+        # piece(s) and a .visit record for VisIt
+        base = f"solution-{timestep:06d}"
+        write_pvtu(os.path.join(self.outdir, base + ".pvtu"), [fname],
+                   point_data, cell_data)
+        with open(os.path.join(self.outdir, base + ".visit"), "w") as f:
+            f.write("!NBLOCKS 1\n")
+            f.write(fname + "\n")
+        self.pvd_entries.append((time, base + ".pvtu"))
         write_pvd(os.path.join(self.outdir, "solution.pvd"), self.pvd_entries)
         return fname
+
+    def write_mesh_eps(self, path: str | None = None) -> str:
+        """Wireframe EPS of the mesh (FEProblem::visualise_mesh,
+        FE_problem.h:168-179 / deal.II GridOut::write_eps): orthographic
+        projection at the deal.II default view (azimut 60, turn 30)."""
+        path = path or os.path.join(self.outdir, "3D_mesh.eps")
+        az, tu = np.deg2rad(60.0), np.deg2rad(30.0)
+        # deal.II eps projection: view direction from (azimut, turn)
+        ca, sa = np.cos(az), np.sin(az)
+        ct, st = np.cos(tu), np.sin(tu)
+        ux = np.array([-sa, ca, 0.0])
+        uy = np.array([-ca * st, -sa * st, ct])
+        p2 = np.stack([self.nodes @ ux, self.nodes @ uy], axis=1)
+        lo, hi = p2.min(axis=0), p2.max(axis=0)
+        span = np.maximum(hi - lo, 1e-30)
+        scale = 280.0 / span.max()
+        p2 = (p2 - lo) * scale + 10.0
+
+        # unique hex edges (bit-ordered vertices: x fastest, then y, z)
+        edge_local = [
+            (0, 1), (2, 3), (4, 5), (6, 7),
+            (0, 2), (1, 3), (4, 6), (5, 7),
+            (0, 4), (1, 5), (2, 6), (3, 7),
+        ]
+        seen = set()
+        lines = []
+        for cell in self.cells:
+            for a, b in edge_local:
+                key = (min(cell[a], cell[b]), max(cell[a], cell[b]))
+                if key in seen:
+                    continue
+                seen.add(key)
+                pa, pb = p2[key[0]], p2[key[1]]
+                lines.append(f"{pa[0]:.2f} {pa[1]:.2f} m {pb[0]:.2f} "
+                             f"{pb[1]:.2f} x\n")
+        with open(path, "w") as f:
+            f.write("%!PS-Adobe-2.0 EPSF-1.2\n%%Title: scema mesh\n")
+            f.write(f"%%BoundingBox: 0 0 {int(p2[:, 0].max() + 10)} "
+                    f"{int(p2[:, 1].max() + 10)}\n")
+            f.write("/m {moveto} bind def\n/x {lineto stroke} bind def\n")
+            f.write("0.3 setlinewidth\n")
+            f.writelines(lines)
+            f.write("showpage\n")
+        return path
+
+    _TRIU = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    _V2T = [0, 3, 4, 1, 5, 2]  # Voigt [xx yy zz xy xz yz] -> triu order
+
+    def write_mddata(self, timestep: int, qp_ids, material, strain_cg,
+                     stress_repl, temperature: float, strain_rate: float,
+                     force_field: str) -> None:
+        """Per-(qp, replica) MD log rows (STMDProblem::write_local_data,
+        stmd_problem.h:394-456) — appended one file per (qp, replica),
+        header identical to the reference's."""
+        strain_cg = np.asarray(strain_cg)
+        stress_repl = np.asarray(stress_repl)  # (n_qp, n_repl, 6)
+        n_repl = stress_repl.shape[1]
+        hdr = ("qp_id,material_id,time_id,temperature,strain_rate,"
+               "force_field,replica_id")
+        for k, l in self._TRIU:
+            hdr += f",strain_{k}{l}"
+        for k, l in self._TRIU:
+            hdr += f",stress_{k}{l}"
+        for q in qp_ids:
+            for r in range(n_repl):
+                path = os.path.join(self.outdir,
+                                    f"mddata_qpid{q}_repl{r + 1}.csv")
+                new = not os.path.exists(path) or os.path.getsize(path) == 0
+                with open(path, "a") as f:
+                    if new:
+                        f.write(hdr + "\n")
+                    eps_t = strain_cg[q][self._V2T]
+                    sig_t = stress_repl[q, r][self._V2T]
+                    vals = ",".join(f"{x:.16g}"
+                                    for x in np.concatenate([eps_t, sig_t]))
+                    f.write(f"{q},{int(material[q])},{timestep},"
+                            f"{temperature:.10g},{strain_rate:.10g},"
+                            f"{force_field},{r + 1},{vals}\n")
 
     def write_lbc_force(self, timestep: int, time: float, force: float) -> None:
         with open(self._lbc_path, "a") as f:
@@ -153,14 +267,19 @@ class OutputWriter:
         """Per-qp analytics CSV (pr_<p>.lhistory.csv analog)."""
         path = os.path.join(self.outdir, f"lhistory-{timestep:06d}.csv")
         strain = np.asarray(fe_state.qp.new_strain)
+        upd = np.asarray(fe_state.qp.upd_strain)
         stress = np.asarray(fe_state.qp.new_stress)
         with open(path, "w") as f:
             f.write(
                 "qp,eps_xx,eps_yy,eps_zz,eps_xy,eps_xz,eps_yz,"
+                "upd_xx,upd_yy,upd_zz,upd_xy,upd_xz,upd_yz,"
                 "sig_xx,sig_yy,sig_zz,sig_xy,sig_xz,sig_yz\n"
             )
             for q in range(strain.shape[0]):
-                row = ",".join(f"{x:.9g}" for x in np.concatenate([strain[q], stress[q]]))
+                row = ",".join(
+                    f"{x:.9g}"
+                    for x in np.concatenate([strain[q], upd[q], stress[q]])
+                )
                 f.write(f"{q},{row}\n")
         return path
 

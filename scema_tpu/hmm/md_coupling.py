@@ -220,7 +220,12 @@ class MDBackend:
                 vxi=scat(micro.vxi, nvxi),
                 has_run=micro.has_run | ran,
             )
-            return micro, update_stress_cg, has_result
+            # raw per-replica stresses dense over qps (mddata CSV logs)
+            stress_repl_cg = (
+                jnp.zeros((n_qp, self.n_repl, 6), dtype=eps_cg.dtype)
+                .at[job_idx].set(sigma_rep, mode="drop")
+            )
+            return micro, update_stress_cg, has_result, stress_repl_cg
 
         return update_fn
 
@@ -278,11 +283,14 @@ class MDHMMProblem:
         n_qp = out.flags.shape[0]
         update_stress_cg = jnp.zeros((n_qp, 6), dtype=out.update_strain_cg.dtype)
         has_result = jnp.zeros((n_qp,), dtype=bool)
+        n_repl = max(be.n_repl for be in self.backends)
+        stress_repl = jnp.zeros((n_qp, n_repl, 6),
+                                dtype=out.update_strain_cg.dtype)
         new_micros = []
         for m, be in enumerate(self.backends):
             jobs_m = jobs & (out.material == m)
             update_fn = be.make_update_fn()
-            micro_m, upd_m, hr_m = update_fn(
+            micro_m, upd_m, hr_m, srepl_m = update_fn(
                 micros[m], out.update_strain_cg,
                 jnp.zeros_like(out.material),  # local material index
                 jobs_m, out.most_recent_id,
@@ -291,6 +299,7 @@ class MDHMMProblem:
             new_micros.append(micro_m)
             update_stress_cg = update_stress_cg + upd_m
             has_result = has_result | hr_m
+            stress_repl = stress_repl.at[:, : be.n_repl, :].add(srepl_m)
         micro = tuple(new_micros)
 
         # a flagged qp whose (possibly deduplicated) source didn't fit the
@@ -317,6 +326,9 @@ class MDHMMProblem:
             # larger flagged set) — not the requested count
             n_jobs=jnp.sum(has_result),
             reaction_force=rf,
+            md_ran=has_result,
+            md_strain_cg=out.update_strain_cg,
+            md_stress_repl=stress_repl,
         )
 
 

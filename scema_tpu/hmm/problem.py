@@ -61,6 +61,11 @@ class StepOutputs(NamedTuple):
     n_flagged: jax.Array  # number of qps flagged for MD
     n_jobs: jax.Array  # number of qps actually running MD (after dedup)
     reaction_force: jax.Array  # loaded-boundary reaction (output_lbc_force)
+    # MD-coupled runs only (None on the Hooke/surrogate paths): feed the
+    # per-qp mddata CSV logs (stmd_problem.h:394-456)
+    md_ran: jax.Array | None = None  # (n_qp,) bool — MD executed this step
+    md_strain_cg: jax.Array | None = None  # (n_qp, 6) job strains
+    md_stress_repl: jax.Array | None = None  # (n_qp, n_repl, 6) raw stresses
 
 
 # An md_update_fn maps (eps_cg (n_qp,6), material (n_qp,), jobs_mask (n_qp,),

@@ -37,9 +37,12 @@ def test_vtu_well_formed(tmp_path):
     assert "displacement" in names and "velocity" in names
     cnames = [d.get("Name") for d in tree.getroot().findall(".//CellData/DataArray")]
     assert {"strain", "stress", "material", "von_mises"} <= set(cnames)
-    # pvd master exists and references the vtu
+    # pvd master exists and references the per-step pvtu collection,
+    # which in turn references the vtu piece (the reference's layout)
     assert (tmp_path / "solution.pvd").exists()
-    assert fname in (tmp_path / "solution.pvd").read_text()
+    pvd = (tmp_path / "solution.pvd").read_text()
+    assert fname.replace(".vtu", ".pvtu") in pvd
+    assert fname in (tmp_path / fname.replace(".vtu", ".pvtu")).read_text()
 
 
 def test_csv_outputs(tmp_path):
@@ -149,3 +152,50 @@ def test_reference_restart_continuation(tmp_path):
     sig_resumed = np.asarray(s2.qp.new_stress)
     scale = np.abs(sig_full).max()
     assert np.abs(sig_resumed - sig_full).max() / scale < 1e-9
+
+
+def test_pvtu_visit_masters_and_eps(tmp_path):
+    """Parallel-collection masters + EPS mesh dump (FE_problem.h:2232-2253,
+    168-179)."""
+    hmm = small_hmm()
+    state = hmm.init_state()
+    state, out = jax.jit(hmm.step)(state)
+    w = OutputWriter(str(tmp_path), hmm.problem.mesh.nodes,
+                     hmm.problem.mesh.cells)
+    w.write_visualisation(state, 1, 5e-7)
+    assert (tmp_path / "solution-000001.pvtu").exists()
+    visit = (tmp_path / "solution-000001.visit").read_text()
+    assert visit.startswith("!NBLOCKS 1") and "solution-000001.vtu" in visit
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(tmp_path / "solution-000001.pvtu")
+    pieces = tree.getroot().findall(".//Piece")
+    assert pieces[0].get("Source") == "solution-000001.vtu"
+    # pvd references the pvtu master now
+    assert "solution-000001.pvtu" in (tmp_path / "solution.pvd").read_text()
+
+    eps = w.write_mesh_eps()
+    txt = open(eps).read()
+    assert txt.startswith("%!PS-Adobe") and "lineto" in txt
+
+
+def test_mddata_csv_rows(tmp_path):
+    from scema_tpu.fem.output import OutputWriter as OW
+
+    w = OW(str(tmp_path), np.zeros((8, 3)), np.arange(8)[None, :])
+    strain = np.arange(12, dtype=float).reshape(2, 6)
+    stress = np.arange(24, dtype=float).reshape(2, 2, 6) * 1e6
+    w.write_mddata(3, [0, 1], np.zeros(2, int), strain, stress,
+                   300.0, 1e-4, "opls")
+    p = tmp_path / "mddata_qpid1_repl2.csv"
+    lines = p.read_text().splitlines()
+    assert lines[0].startswith("qp_id,material_id,time_id,temperature,"
+                               "strain_rate,force_field,replica_id,strain_00")
+    row = lines[1].split(",")
+    assert row[0] == "1" and row[6] == "2" and row[5] == "opls"
+    # Voigt -> triu reorder: strain_01 column holds the Voigt xy component
+    assert float(row[8]) == strain[1][3]
+    # appending keeps a single header
+    w.write_mddata(4, [1], np.zeros(2, int), strain, stress, 300.0, 1e-4,
+                   "opls")
+    assert len(p.read_text().splitlines()) == 3
