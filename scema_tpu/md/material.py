@@ -230,6 +230,48 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
     )
 
 
+def _build_fused_runner_sw(spec: MaterialSpec, swff, masses, nspec, dtype):
+    """All-pairs fused-kernel runner for small SW boxes (the HMM per-qp
+    regime).  Parameter-free pairs: the kernel closes over the SW
+    constants; two tile-pair sweeps per step (moments then adjoint
+    forces, ops/md_fused.forces_allpairs_sw)."""
+    use = spec.use_fused
+    if use is None:
+        use = jax.default_backend() != "cpu"
+    n = int(masses.shape[0])
+    if not use or n > 640:
+        return None
+    if not (abs(float(swff.p) - 4.0) < 1e-12 and abs(float(swff.q)) < 1e-12):
+        return None  # the kernel hardcodes the p=4/q=0 family (SI etc.)
+    from ..ops import md_fused as MFU
+
+    kspec = MFU.FusedSpec(
+        n_atoms=n,
+        nt=MFU.pad_n(n) // MFU.LANE,
+        k=8,
+        cutoff2=float(swff.cutoff) ** 2,
+        ndof=3 * n - 3,
+        boltz=REAL.boltz,
+        ftm2v=REAL.ftm2v,
+        nktv2p=REAL.nktv2p,
+        interpret=jax.default_backend() == "cpu",
+        allpairs=True,
+        sw=True,
+        sw_params=(float(swff.epsilon), float(swff.sigma), float(swff.a),
+                   float(swff.lam), float(swff.gamma),
+                   float(swff.costheta0), float(swff.A), float(swff.B)),
+    )
+    return MFU.FusedRunner(
+        spec=kspec,
+        nspec=nspec,
+        masses=masses,
+        eps_table=jnp.zeros((1, 1), dtype),
+        sig_table=jnp.zeros((1, 1), dtype),
+        types=jnp.zeros((n,), jnp.int32),
+        rebuild_every=spec.rebuild_every,
+    )
+
+
 def _runner_pair_classes(n, types, eps_table, sig_table, weights_fn,
                          qq_table, nspec):
     """(pair_cls, lut_w4e, lut_sig2, lut_qq) for the packed dense rebuild,
@@ -367,6 +409,8 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
     fused = None
     if spec.force_field == "lj":
         fused = _build_fused_runner(spec, ff, masses, nspec, dtype)
+    elif spec.force_field == "sw" and not use_onehot:
+        fused = _build_fused_runner_sw(spec, spec.sw, masses, nspec, dtype)
     sys = E.MDSystem(
         ff=ff,
         masses=masses,

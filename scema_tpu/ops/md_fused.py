@@ -96,6 +96,13 @@ class FusedSpec:
     # rate beats gather-bound list traversal; the HMM's per-qp boxes
     # (~512 atoms) live exactly there.
     allpairs: bool = False
+    # Stillinger-Weber all-pairs mode (single species, p=4/q=0 family):
+    # two tile-pair sweeps per step — moments (s, g^2, m, Q) then the
+    # hand-derived per-pair force with per-atom three-body adjoints
+    # (same math as ops/sw_pallas._sw_force_kernel).  Parameter-free
+    # pairs: no dense matrices at all; occupancy from the invm state row.
+    sw: bool = False
+    sw_params: tuple = ()  # (eps, sigma, a, lam, gamma, costheta0, A, B)
 
 
 # topo channel rows (chain-structured bonded terms; term k starts at atom k)
@@ -375,6 +382,179 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             frac = g.astype(dtype) / n_tot.astype(dtype)
             return _h_at(h0, eps, frac)
 
+        def forces_allpairs_sw(px, py, pz, h6):
+            """Stillinger-Weber all-pairs tile-pair forces.
+
+            Sweep 1 accumulates the per-atom three-body moments
+            (s = sum g, g^2, m = sum g u, Q = sum g u (x) u) as lane
+            vectors; the SW three-body energy is a quadratic form in
+            those, so its gradient needs only the per-atom adjoints
+            A_s, A_gsq, A_m, A_Q (sw_pallas.sw_forces_pallas_bricks).
+            Sweep 2 evaluates the ordered-pair w = dT/dd twice per block
+            (center = lane with lane adjoints; center = row with
+            transposed adjoints) — both roles reduce over rows onto the
+            lane tile, so no lane-axis reductions appear anywhere.
+            """
+            eps_, sig, a_cut, lam, gam, c0, A_, B_ = spec.sw_params
+            rc = a_cut * sig
+            lam_eps = lam * eps_
+            lx, ly, lz, xy, xz, yz = h6
+            inv_lx, inv_ly, inv_lz = 1.0 / lx, 1.0 / ly, 1.0 / lz
+            # float occupancy (padded atoms have a zero invm row) — kept
+            # multiplicative rather than in the mask: Mosaic rejects
+            # sublane reductions whose mask layout mixes broadcast offsets
+            occf = jnp.where(invm > 0.0, jnp.asarray(1.0, dtype),
+                             jnp.asarray(0.0, dtype))
+            cols = [
+                (
+                    jnp.swapaxes(px[u].reshape(1, LANE), 0, 1),
+                    jnp.swapaxes(py[u].reshape(1, LANE), 0, 1),
+                    jnp.swapaxes(pz[u].reshape(1, LANE), 0, 1),
+                    jnp.swapaxes(occf[u].reshape(1, LANE), 0, 1),
+                )
+                for u in range(NT)
+            ]
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+            cols_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+            eye = rows_i == cols_i
+
+            def block_geom(t, u):
+                """Shared pair geometry for (rows = tile u, lanes = tile t):
+                d = r_row - r_lane (neighbor - center for role A).
+                ``occp`` is the float pair-occupancy multiplier."""
+                xj, yj, zj, oj = cols[u]
+                dx = xj - px[t].reshape(1, LANE)
+                dy = yj - py[t].reshape(1, LANE)
+                dz = zj - pz[t].reshape(1, LANE)
+                n3 = jnp.round(dz * inv_lz)
+                dz = dz - n3 * lz
+                dy = dy - n3 * yz
+                n2 = jnp.round(dy * inv_ly)
+                dy = dy - n2 * ly
+                dx = dx - n3 * xz - n2 * xy
+                n1 = jnp.round(dx * inv_lx)
+                dx = dx - n1 * lx
+                r2 = dx * dx + dy * dy + dz * dz
+                mask = (r2 < (rc - 1e-6) ** 2) & (r2 > 1e-8)
+                if t == u:
+                    mask = mask & ~eye
+                occp = oj * occf[t].reshape(1, LANE)
+                r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+                inv_r = 1.0 / r
+                return dx, dy, dz, r, inv_r, mask, occp
+
+            # ---- sweep 1: moments per lane tile
+            mom = []  # per tile: (s, gsq, mx, my, mz, Qxx..Qyz) lane rows
+            for t in range(NT):
+                acc = [jnp.zeros((1, LANE), dtype) for _ in range(11)]
+                for u in range(NT):
+                    dx, dy, dz, r, inv_r, mask, occp = block_geom(t, u)
+                    g = occp * jnp.where(
+                        mask,
+                        jnp.exp(gam * sig / jnp.where(mask, r - rc, -1.0)),
+                        0.0)
+                    ux, uy, uz = dx * inv_r, dy * inv_r, dz * inv_r
+                    acc[0] += jnp.sum(g, axis=0, keepdims=True)
+                    acc[1] += jnp.sum(g * g, axis=0, keepdims=True)
+                    acc[2] += jnp.sum(g * ux, axis=0, keepdims=True)
+                    acc[3] += jnp.sum(g * uy, axis=0, keepdims=True)
+                    acc[4] += jnp.sum(g * uz, axis=0, keepdims=True)
+                    acc[5] += jnp.sum(g * ux * ux, axis=0, keepdims=True)
+                    acc[6] += jnp.sum(g * uy * uy, axis=0, keepdims=True)
+                    acc[7] += jnp.sum(g * uz * uz, axis=0, keepdims=True)
+                    acc[8] += jnp.sum(g * ux * uy, axis=0, keepdims=True)
+                    acc[9] += jnp.sum(g * ux * uz, axis=0, keepdims=True)
+                    acc[10] += jnp.sum(g * uy * uz, axis=0, keepdims=True)
+                mom.append(acc)
+
+            # ---- adjoints per tile (lane rows), plus transposed columns
+            adj_lane, adj_col = [], []
+            for t in range(NT):
+                s_, gsq, mx, my, mz, qxx, qyy, qzz, qxy, qxz, qyz = mom[t]
+                a_s = lam_eps * c0 * c0 * s_
+                a_gsq = jnp.full((1, LANE),
+                                 -(lam_eps / 2.0) * (1.0 - c0) ** 2, dtype)
+                amx = -2.0 * lam_eps * c0 * mx
+                amy = -2.0 * lam_eps * c0 * my
+                amz = -2.0 * lam_eps * c0 * mz
+                rowset = (a_s, a_gsq, amx, amy, amz,
+                          lam_eps * qxx, lam_eps * qyy, lam_eps * qzz,
+                          lam_eps * qxy, lam_eps * qxz, lam_eps * qyz)
+                adj_lane.append(rowset)
+                adj_col.append(tuple(jnp.swapaxes(x, 0, 1) for x in rowset))
+
+            def w_of(ux, uy, uz, inv_r, g, dg, radial0, adj):
+                """w = dT/dd for centers whose adjoints are ``adj``
+                (broadcastable against the (128, 128) block)."""
+                (a_s, a_gsq, amx, amy, amz,
+                 qxx, qyy, qzz, qxy, qxz, qyz) = adj
+                am_u = amx * ux + amy * uy + amz * uz
+                qu_x = qxx * ux + qxy * uy + qxz * uz
+                qu_y = qxy * ux + qyy * uy + qyz * uz
+                qu_z = qxz * ux + qyz * uy + qzz * uz
+                uqu = ux * qu_x + uy * qu_y + uz * qu_z
+                radial = radial0 + dg * (a_s + 2.0 * a_gsq * g + am_u + uqu)
+                tang = g * inv_r
+                wx = radial * ux + tang * (amx + 2.0 * qu_x
+                                           - (am_u + 2.0 * uqu) * ux)
+                wy = radial * uy + tang * (amy + 2.0 * qu_y
+                                           - (am_u + 2.0 * uqu) * uy)
+                wz = radial * uz + tang * (amz + 2.0 * qu_z
+                                           - (am_u + 2.0 * uqu) * uz)
+                return wx, wy, wz
+
+            # ---- sweep 2: forces (+ virial on role A's ordered pairs)
+            fxs, fys, fzs = [], [], []
+            w6 = [jnp.zeros((), dtype) for _ in range(6)]
+            for t in range(NT):
+                fx_t = jnp.zeros((1, LANE), dtype)
+                fy_t = jnp.zeros((1, LANE), dtype)
+                fz_t = jnp.zeros((1, LANE), dtype)
+                for u in range(NT):
+                    dx, dy, dz, r, inv_r, mask, occp = block_geom(t, u)
+                    ux, uy, uz = dx * inv_r, dy * inv_r, dz * inv_r
+                    denom = jnp.where(mask, r - rc, -1.0)
+                    expo = jnp.exp(sig / denom)
+                    sr2 = (sig * inv_r) ** 2
+                    srp = sr2 * sr2  # p = 4
+                    phi2 = A_ * eps_ * (B_ * srp - 1.0) * expo  # q = 0
+                    dphi2 = (A_ * eps_ * (-4.0 * B_ * srp * inv_r) * expo
+                             + phi2 * (-sig / (denom * denom)))
+                    g = jnp.where(mask, jnp.exp(gam * sig / denom), 0.0)
+                    dg = g * (-gam * sig / (denom * denom))
+                    radial0 = 0.5 * dphi2
+                    occm = jnp.where(mask, occp, 0.0)
+
+                    # role A: centers = lanes of t, neighbors = rows
+                    wax, way, waz = w_of(ux, uy, uz, inv_r, g, dg, radial0,
+                                         adj_lane[t])
+                    wax = occm * wax
+                    way = occm * way
+                    waz = occm * waz
+                    fx_t = fx_t + jnp.sum(wax, axis=0, keepdims=True)
+                    fy_t = fy_t + jnp.sum(way, axis=0, keepdims=True)
+                    fz_t = fz_t + jnp.sum(waz, axis=0, keepdims=True)
+                    # role B: centers = rows of u (transposed adjoints),
+                    # lane atoms are the neighbors: reaction on lanes
+                    wbx, wby, wbz = w_of(-ux, -uy, -uz, inv_r, g, dg,
+                                         radial0, adj_col[u])
+                    fx_t = fx_t - jnp.sum(occm * wbx, axis=0, keepdims=True)
+                    fy_t = fy_t - jnp.sum(occm * wby, axis=0, keepdims=True)
+                    fz_t = fz_t - jnp.sum(occm * wbz, axis=0, keepdims=True)
+                    if sample:
+                        # ordered pairs of role A enumerate every ordered
+                        # pair once; engine convention W = -sym(sum w x d)
+                        w6[0] -= jnp.sum(wax * dx)
+                        w6[1] -= jnp.sum(way * dy)
+                        w6[2] -= jnp.sum(waz * dz)
+                        w6[3] -= 0.5 * jnp.sum(wax * dy + way * dx)
+                        w6[4] -= 0.5 * jnp.sum(wax * dz + waz * dx)
+                        w6[5] -= 0.5 * jnp.sum(way * dz + waz * dy)
+                fxs.append(fx_t.reshape(LANE))
+                fys.append(fy_t.reshape(LANE))
+                fzs.append(fz_t.reshape(LANE))
+            return (jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs), w6)
+
         def forces_allpairs(px, py, pz, h6):
             """Tile-pair all-pairs forces: dense (128, 128) blocks, zero
             gathers.  Block layout [s, l] = pair (j = u*128+s source rows,
@@ -465,6 +645,8 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
 
         def forces(px, py, pz, h6):
             """Pair forces + (optionally) per-step pair virial (Voigt-6)."""
+            if spec.sw:
+                return forces_allpairs_sw(px, py, pz, h6)
             if spec.allpairs:
                 return forces_allpairs(px, py, pz, h6)
             lx, ly, lz, xy, xz, yz = h6
@@ -660,16 +842,24 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
         topo = topo[None]
 
     if spec.allpairs:
-        # dense (NPAD, NPAD) parameter matrices; idx/img slots are unread
+        # dense (NPAD, NPAD) parameter matrices; idx/img slots are unread.
+        # SW mode is parameter-free per pair — every channel slot is a
+        # placeholder (the kernel closes over spec.sw_params).
         placeholder = jnp.zeros((1, 1, 1), dtype)
         ph_spec = pl.BlockSpec((1, 1, 1), lambda: (0, 0, 0),
                                memory_space=pl.ANY)
+        if "w4e" in channels:
+            w4e_op, w4e_sp = channels["w4e"][None], dense_spec
+            sig2_op, sig2_sp = channels["sig2"][None], dense_spec
+        else:
+            w4e_op = sig2_op = placeholder
+            w4e_sp = sig2_sp = ph_spec
         operands = [
             placeholder,  # idx (unread)
-            channels["w4e"][None], channels["sig2"][None],
+            w4e_op, sig2_op,
             placeholder, placeholder, placeholder,  # images (unread)
         ]
-        operand_specs = [ph_spec, dense_spec, dense_spec,
+        operand_specs = [ph_spec, w4e_sp, sig2_sp,
                          ph_spec, ph_spec, ph_spec]
     else:
         nbr_spec = pl.BlockSpec((1, K, NT, LANE), lambda: (0, 0, 0, 0))
@@ -980,6 +1170,8 @@ class FusedRunner:
     dense_qq: object = None
 
     def channels(self, pos, h):
+        if self.spec.sw:
+            return {}  # parameter-free: everything closes over sw_params
         if self.spec.allpairs:
             ch = {"w4e": self.dense_w4e, "sig2": self.dense_sig2}
             if self.dense_qq is not None:

@@ -366,3 +366,32 @@ def test_allpairs_multitile_matches_xla():
     assert np.allclose(np.asarray(out_f.pos), np.asarray(out_x.pos), atol=1e-7)
     assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-6,
                        atol=1e2)
+
+
+def test_sw_allpairs_fused_matches_xla():
+    """SW all-pairs fused integrator (moments + adjoint forces in-kernel)
+    == the XLA engine path: trajectory and virial stress."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    common = dict(name="sic", force_field="sw", n_cells=2, rebuild_every=10)
+    sys_x, st_x = M.build_system(M.MaterialSpec(**common, use_fused=False))
+    sys_f, st_f = M.build_system(M.MaterialSpec(**common, use_fused=True))
+    assert sys_x.fused is None and sys_f.fused is not None
+    assert sys_f.fused.spec.sw
+
+    vel = E.maxwell_velocities(sys_x, jax.random.PRNGKey(4), 50.0)
+    st_x = st_x._replace(vel=vel)
+    st_f = st_f._replace(vel=vel)
+    params = MDParams(temperature=50.0, dt=0.5, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.02, 0.0, -0.01, 0.0, 0.003, 0.0])
+
+    out_x, sig_x = strain_and_homogenize(sys_x, st_x, dl, params)
+    out_f, sig_f = strain_and_homogenize(sys_f, st_f, dl, params)
+    assert np.allclose(np.asarray(out_f.pos), np.asarray(out_x.pos),
+                       atol=1e-8)
+    assert np.allclose(np.asarray(out_f.vel), np.asarray(out_x.vel),
+                       atol=1e-8)
+    assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-7,
+                       atol=1e3)
