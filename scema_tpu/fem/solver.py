@@ -56,3 +56,81 @@ def cg_solve(
         op, b, M=lambda r: minv * r, tol=tol, maxiter=maxiter
     )
     return jnp.where(constrained, 0.0, x)
+
+
+def gmres_solve(
+    matvec,
+    b: jax.Array,
+    diag: jax.Array,
+    constrained: jax.Array,
+    tol: float = 1.0e-10,
+    maxiter: int = 200,
+    restart: int = 30,
+) -> jax.Array:
+    """Jacobi-preconditioned GMRES — the reference's
+    ``solve_linear_problem_GMRES`` (FE_problem.h:918-950), matrix-free."""
+
+    def op(x):
+        x = jnp.where(constrained, 0.0, x)
+        y = matvec(x)
+        return jnp.where(constrained, x, y)
+
+    b = jnp.where(constrained, 0.0, b)
+    minv = jnp.where(constrained, 1.0, 1.0 / diag)
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        op, b, M=lambda r: minv * r, tol=tol, maxiter=maxiter,
+        restart=restart,
+    )
+    return jnp.where(constrained, 0.0, x)
+
+
+def bicgstab_solve(
+    matvec,
+    b: jax.Array,
+    diag: jax.Array,
+    constrained: jax.Array,
+    tol: float = 1.0e-10,
+    maxiter: int = 200,
+) -> jax.Array:
+    """Jacobi-preconditioned BiCGStab — the reference's
+    ``solve_linear_problem_BiCGStab`` (FE_problem.h:954-991; its BoomerAMG
+    preconditioner becomes Jacobi here — the operator is an SPD mass
+    matrix, where Jacobi is the appropriate lightweight choice)."""
+
+    def op(x):
+        x = jnp.where(constrained, 0.0, x)
+        y = matvec(x)
+        return jnp.where(constrained, x, y)
+
+    b = jnp.where(constrained, 0.0, b)
+    minv = jnp.where(constrained, 1.0, 1.0 / diag)
+    x, _ = jax.scipy.sparse.linalg.bicgstab(
+        op, b, M=lambda r: minv * r, tol=tol, maxiter=maxiter
+    )
+    return jnp.where(constrained, 0.0, x)
+
+
+def direct_solve(
+    matvec,
+    n_dofs: int,
+    b: jax.Array,
+    constrained: jax.Array,
+) -> jax.Array:
+    """Dense direct solve — the reference's MUMPS path
+    (``solve_linear_problem_direct``, FE_problem.h:995-1017).  The
+    matrix-free operator is materialized column-by-column and factorized
+    with LU; only sensible for small meshes (as is MUMPS on one rank)."""
+    eye = jnp.eye(n_dofs, dtype=b.dtype)
+
+    def op(x):
+        x = jnp.where(constrained, 0.0, x)
+        y = matvec(x)
+        return jnp.where(constrained, x, y)
+
+    A = jax.vmap(op, in_axes=1, out_axes=1)(eye)
+    # constrained columns are zero under op (input entries are masked);
+    # make those equations x_i = 0 explicitly or A is singular
+    A = A + jnp.diag(constrained.astype(b.dtype))
+    b = jnp.where(constrained, 0.0, b)
+    x = jax.scipy.linalg.solve(A, b)
+    return jnp.where(constrained, 0.0, x)
