@@ -68,6 +68,35 @@ def bench_md_throughput_fused():
     return n_jobs * sys_.n_atoms * n_steps / dt_s
 
 
+def bench_sisw_example():
+    """The reference's own shipped workload (streched_polyhedron: SiSW,
+    1x1x2 cells, 16 qps): its README documents ~4 min for 2 macro-steps
+    (~120 s/step on 2 MPI ranks).  The one apples-to-apples end-to-end
+    comparison that exists."""
+    import jax
+    import numpy as np
+    from scema_tpu.config import load_config
+    from scema_tpu.hmm.md_coupling import build_md_hmm
+
+    cfg = load_config(
+        "/root/reference/examples/streched_polyhedron/inputs.json",
+        dtype="float32", md_dtype="float32",
+    )
+    hmm = build_md_hmm(cfg, equil_steps=100, minimize_steps=100)
+    carry = hmm.init_state()
+    step = jax.jit(hmm.step)
+    carry, out = step(carry)
+    float(np.asarray(carry[0].u[0]))  # compile + step 1
+    t0 = time.perf_counter()
+    for _ in range(2):
+        carry, out = step(carry)
+    float(np.asarray(carry[0].u[0]))
+    dt_s = (time.perf_counter() - t0) / 2
+    print(f"[bench] streched_polyhedron (SiSW): {dt_s:.2f} s/step "
+          f"(reference anchor ~120 s/step)", file=sys.stderr)
+    return dt_s
+
+
 def bench_hmm_opls():
     import jax
     import numpy as np
@@ -113,6 +142,16 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] MD throughput failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    try:
+        sisw = bench_sisw_example()
+        result.update(
+            sisw_example_s_per_step=round(sisw, 2),
+            sisw_vs_reference=round(120.0 / sisw, 1),
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] SiSW example failed ({type(e).__name__}: {e})",
               file=sys.stderr)
 
     try:
