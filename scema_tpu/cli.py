@@ -134,11 +134,37 @@ def cmd_run(args) -> int:
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
+    # fault recovery: device/runtime failures roll back to the last good
+    # in-memory snapshot and retry.  The reference's only recovery story is
+    # checkpoint/restart from disk after exit(1) (stmd_sync.h:585-606
+    # documents an abandoned communicator-isolation attempt); here a
+    # snapshot of the full two-scale carry costs one HBM copy, so the run
+    # self-heals through transient accelerator faults.
+    last_good = state
+    last_good_k = 0
+    retries_left = args.max_retries
+
     t_total = time.perf_counter()
-    for k in range(n_steps):
+    k = 0
+    while k < n_steps:
         t0 = time.perf_counter()
-        state, out = step(state)
-        jax.block_until_ready(state)
+        try:
+            state, out = step(state)
+            jax.block_until_ready(state)
+            # a device-side fault surfaces on the transfer; force it now
+            float(fe_of(state).time)
+        except Exception as e:  # noqa: BLE001 — device faults are runtime
+            if retries_left <= 0:
+                raise
+            retries_left -= 1
+            print(f"step failed ({type(e).__name__}: {e}); rolling back to "
+                  f"step {last_good_k} ({retries_left} retries left)",
+                  file=sys.stderr)
+            state = last_good
+            k = last_good_k
+            continue
+        last_good, last_good_k = state, k + 1
+        k += 1
         wall = time.perf_counter() - t0
         fe = fe_of(state)
         ts = int(fe.timestep)
@@ -353,6 +379,9 @@ def main(argv=None) -> int:
     pr.add_argument("--surrogate", default="",
                     help="stress method 2: path to a Keras surrogate .bin "
                          "(or its directory with scaler.pkl)")
+    pr.add_argument("--max-retries", type=int, default=3,
+                    help="transient-fault retries (rollback to the last "
+                         "good step)")
     pr.set_defaults(fn=cmd_run)
 
     pi = sub.add_parser("init-material", help="equilibrate materials, measure stiffness")

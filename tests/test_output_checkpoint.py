@@ -199,3 +199,52 @@ def test_mddata_csv_rows(tmp_path):
     w.write_mddata(4, [1], np.zeros(2, int), strain, stress, 300.0, 1e-4,
                    "opls")
     assert len(p.read_text().splitlines()) == 3
+
+
+def test_cli_fault_recovery(tmp_path, monkeypatch, capsys):
+    """An injected device fault mid-run rolls back to the last good step
+    and the run completes with the correct final state (the CLI's
+    transient-fault retry; the reference can only exit(1) + restart)."""
+    import json
+    import jax as _jax
+    from scema_tpu import cli as CLI
+
+    cfg = {
+        "problem type": {"class": "dogbone", "strain rate": 0.002},
+        "scale-bridging": {"stress computation method": 0,
+                           "approximate md with hookes law": 1},
+        "continuum time": {"timestep length": 5e-07, "start timestep": 1,
+                           "end timestep": 4},
+        "continuum mesh": {"fe degree": 1, "quadrature formula": 2,
+                          "input": {"style": "cuboid", "x length": 0.03,
+                                    "y length": 0.03, "z length": 0.08,
+                                    "x cells": 1, "y cells": 1,
+                                    "z cells": 2}},
+    }
+    p = tmp_path / "inputs.json"
+    p.write_text(json.dumps(cfg))
+
+    real_jit = _jax.jit
+    calls = {"n": 0}
+
+    def faulty_jit(fn, *a, **kw):
+        jitted = real_jit(fn, *a, **kw)
+
+        def wrapper(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 3:  # fail once mid-run
+                raise RuntimeError("injected device fault")
+            return jitted(*args, **kwargs)
+
+        return wrapper
+
+    monkeypatch.setattr(CLI, "jax", _jax, raising=False)
+    monkeypatch.setattr(_jax, "jit", faulty_jit)
+    rc = CLI.main(["run", str(p), "--hooke", "--cpu", "--steps", "4"])
+    monkeypatch.setattr(_jax, "jit", real_jit)
+    assert rc == 0
+    outerr = capsys.readouterr()
+    assert "injected device fault" in outerr.err
+    assert "rolling back" in outerr.err
+    # 4 steps of the 1x1x2 dogbone: 4 * 0.002 * 0.08 = 0.64 mm
+    assert "Max displacement: 0.00064" in outerr.out
