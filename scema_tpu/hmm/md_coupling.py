@@ -142,10 +142,11 @@ class MDBackend:
             # -- batched MD (execute_inside_md_simulations)
             md_dtype = micro.pos.dtype
 
-            def one(pos, vel, h, vxi, dl):
+            def one(pos, vel, h, vxi, dl, act):
                 st = E.MDState(pos=pos, vel=vel, h=h, vxi=vxi)
                 st, stress = strain_and_homogenize(
-                    self.sys, st, dl.astype(md_dtype), self.params
+                    self.sys, st, dl.astype(md_dtype), self.params,
+                    active=act,
                 )
                 return st.pos, st.vel, st.h, st.vxi, stress
 
@@ -160,7 +161,7 @@ class MDBackend:
                 run = shard_map(
                     run,
                     mesh=self.device_mesh,
-                    in_specs=(P("md"),) * 5,
+                    in_specs=(P("md"),) * 6,
                     out_specs=(P("md"),) * 5,
                     check_vma=False,
                 )
@@ -175,20 +176,25 @@ class MDBackend:
             while K % ch != 0:  # largest divisor of K not exceeding job_chunk
                 ch -= 1
 
+            # inactive padding slots run ZERO MD steps on the fused
+            # all-pairs path — per-step cost follows jobs executed, not
+            # the static list capacity
+            act = jnp.broadcast_to(slot_valid[:, None], (K, self.n_repl))
+
             def chunked(arrs):
-                jp, jv, jh_, jx, dl = arrs
+                jp, jv, jh_, jx, dl, ac = arrs
                 shape = lambda x: x.reshape((K // ch, ch) + x.shape[1:])
                 scanned = jax.lax.scan(
                     lambda _, a: (None, run(*a)),
                     None,
-                    tuple(shape(x) for x in (jp, jv, jh_, jx, dl)),
+                    tuple(shape(x) for x in (jp, jv, jh_, jx, dl, ac)),
                 )[1]
                 return tuple(
                     x.reshape((K,) + x.shape[2:]) for x in scanned
                 )
 
             npos, nvel, nh, nvxi, sigma_rep = chunked(
-                (jpos, jvel, jh, jvxi, dlength)
+                (jpos, jvel, jh, jvxi, dlength, act)
             )
             sigma_rep = sigma_rep.astype(eps_cg.dtype)
 

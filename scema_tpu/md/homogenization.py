@@ -67,18 +67,39 @@ def strain_and_homogenize(
     state: E.MDState,
     dlength: jax.Array,
     params: MDParams,
+    active=None,
 ) -> tuple[E.MDState, jax.Array]:
     """One full MD job: strain the box, then sample the virial stress.
 
     Returns (persistent new microstate, stress in Pa, Voigt-6 framework
     order).  The returned state is the reference's ``last.<qpid>.dump``
     persistent restart — kept in HBM instead of on disk.
+
+    ``active`` (scalar bool, vmappable): padding slots of a fixed-capacity
+    job list pass False — on the all-pairs fused path their step counts
+    drop to zero so the kernel skips them outright (per-step cost then
+    scales with jobs *executed*, not list capacity).  Results of inactive
+    jobs are discarded by the caller's scatter mask either way.
     """
     eps_eff = effective_strain(state.h, dlength)
     nts = nts_for_strain(eps_eff, params)
-    state = E.run_strain(sys, state, eps_eff, nts, params.temperature, params.dt)
+    fused_dyn = sys.fused is not None and sys.fused.spec.allpairs
+    dt = params.dt
+    if active is not None and fused_dyn:
+        # inactive jobs run ONE step with dt = 0 and eps = 0 — an exact
+        # no-op on the state at ~1% of an active job's cost.  (A zero-trip
+        # count would be cheaper still, but a dynamic fori_loop with zero
+        # trips hangs the Mosaic kernel on real v5e hardware — measured;
+        # interpret mode is fine.)
+        nts = jnp.where(active, nts, 1)
+        n_sample = jnp.where(active, params.nsteps_sample, 1)
+        dt = jnp.where(active, dt, 0.0)
+        eps_eff = jnp.where(active, eps_eff, 0.0)
+    else:
+        n_sample = params.nsteps_sample
+    state = E.run_strain(sys, state, eps_eff, nts, params.temperature, dt)
     state, press = E.sample_stress(
-        sys, state, params.nsteps_sample, params.temperature, params.dt
+        sys, state, n_sample, params.temperature, dt
     )
     stress_pa = -press * ATM_TO_PA
     return state, stress_pa

@@ -1232,17 +1232,20 @@ def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
     spec = runner.spec
     if spec.allpairs:
         dtype = state.pos.dtype
-        n_steps = jnp.maximum(jnp.asarray(n_steps), 1)
+        # n_steps may be 0 (inactive padding job): the kernel's fori_loop
+        # exits immediately and the box stays undeformed
+        n_steps = jnp.asarray(n_steps)
         ch = runner.channels(state.pos, state.h)
         st8 = pack_state(state.pos, state.vel, runner.masses, spec.ftm2v,
                          dtype=dtype)
         fscal = make_fscal(dt, T, state.h, eps=jnp.asarray(eps_eff, dtype),
                            vxi=state.vxi, dtype=dtype)
-        iscal = make_iscal(n_steps, 0, n_steps)
+        iscal = make_iscal(n_steps, 0, jnp.maximum(n_steps, 1))
         st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
                                 deform=True, sample=False)
         pos, vel = unpack_state(st8, spec.n_atoms)
-        h_end = B.deform_path(state.h, jnp.asarray(eps_eff, dtype), 1.0)
+        frac_end = jnp.where(n_steps > 0, 1.0, 0.0).astype(dtype)
+        h_end = B.deform_path(state.h, jnp.asarray(eps_eff, dtype), frac_end)
         return E.MDState(pos=pos, vel=vel, h=h_end, vxi=sacc_vxi(sacc))
     R = runner.rebuild_every
     n_steps = jnp.maximum(jnp.asarray(n_steps), R)
@@ -1288,7 +1291,8 @@ def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
         st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
                                 deform=False, sample=True)
         pos, vel = unpack_state(st8, spec.n_atoms)
-        press = sacc_press(sacc) / n_steps
+        # n_steps may be 0 (inactive padding job) — avoid 0/0
+        press = sacc_press(sacc) / jnp.maximum(jnp.asarray(n_steps), 1)
         return E.MDState(pos=pos, vel=vel, h=state.h,
                          vxi=sacc_vxi(sacc)), press
     R = runner.rebuild_every
