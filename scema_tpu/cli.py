@@ -79,7 +79,10 @@ def cmd_run(args) -> int:
     else:
         from .hmm.md_coupling import build_md_hmm
 
-        hmm = build_md_hmm(cfg)
+        # production material prep = the reference's in.init.lammps staged
+        # heatup/cooldown NPT cycle; --quick-prep falls back to the short
+        # fixed-box equilibration (debug/smoke runs)
+        hmm = build_md_hmm(cfg, staged=not args.quick_prep)
 
     print(f"Problem: {cfg.problem.cls}  mesh {cfg.mesh.x_cells}x{cfg.mesh.y_cells}x"
           f"{cfg.mesh.z_cells}  qps {hmm.geom.n_qp_total}  dt {cfg.time.timestep_length}")
@@ -246,9 +249,15 @@ def cmd_init_material(args) -> int:
             spec = M.MaterialSpec(name=mat, force_field=ff, n_cells=args.cells)
             sys_, st = M.build_system(spec)
             key = jax.random.PRNGKey(cfg.seed + repl)
-            st = M.equilibrate(sys_, st, params, key,
-                               minimize_steps=args.minimize_steps,
-                               equil_steps=args.equil_steps)
+            if args.staged:
+                # in.init.lammps heatup/cooldown NPT cycle
+                st = M.equilibrate_staged(sys_, st, params, key,
+                                          ns_init=args.ns_init,
+                                          minimize_steps=args.minimize_steps)
+            else:
+                st = M.equilibrate(sys_, st, params, key,
+                                   minimize_steps=args.minimize_steps,
+                                   equil_steps=args.equil_steps)
             data = M.measure(sys_, st, params)
             M.write_init_files(outdir, mat, repl, data)
             print(f"{mat}_{repl}: L={data.length[0]:.4f} A  rho={data.density:.1f} "
@@ -382,6 +391,9 @@ def main(argv=None) -> int:
     pr.add_argument("--max-retries", type=int, default=3,
                     help="transient-fault retries (rollback to the last "
                          "good step)")
+    pr.add_argument("--quick-prep", action="store_true",
+                    help="short fixed-box material prep instead of the "
+                         "staged heatup/cooldown NPT cycle")
     pr.set_defaults(fn=cmd_run)
 
     pi = sub.add_parser("init-material", help="equilibrate materials, measure stiffness")
@@ -389,6 +401,10 @@ def main(argv=None) -> int:
     pi.add_argument("--cells", type=int, default=3, help="lattice cells per dim")
     pi.add_argument("--minimize-steps", type=int, default=100)
     pi.add_argument("--equil-steps", type=int, default=200)
+    pi.add_argument("--staged", action="store_true",
+                    help="the reference's staged heatup/cooldown NPT prep")
+    pi.add_argument("--ns-init", type=int, default=100,
+                    help="stage length unit for --staged (in.init nsinit)")
     pi.add_argument("--outdir", default="")
     pi.add_argument("--cpu", action="store_true")
     pi.set_defaults(fn=cmd_init_material)
