@@ -395,3 +395,34 @@ def test_sw_allpairs_fused_matches_xla():
                        atol=1e-8)
     assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-7,
                        atol=1e3)
+
+
+def test_inactive_job_is_exact_noop():
+    """Padding-slot jobs (active=False) leave the microstate bit-unchanged
+    and cost one dt=0 step (a zero-trip dynamic fori_loop would hang
+    Mosaic on hardware — this pins the no-op semantics instead)."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    common = dict(name="m", force_field="opls", n_chains=8, chain_length=6,
+                  opls_lj_cutoff=5.0, opls_coul_cutoff=5.0, validate=False)
+    sys_f, st = M.build_system(M.MaterialSpec(**common, use_fused=True))
+    st = st._replace(vel=E.maxwell_velocities(sys_f, jax.random.PRNGKey(3),
+                                              100.0))
+    params = MDParams(temperature=100.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.02, 0.0, -0.01, 0.0, 0.0, 0.0])
+
+    o_i, sig_i = strain_and_homogenize(sys_f, st, dl, params,
+                                       active=jnp.asarray(False))
+    assert np.array_equal(np.asarray(o_i.pos), np.asarray(st.pos))
+    assert np.array_equal(np.asarray(o_i.vel), np.asarray(st.vel))
+    assert np.array_equal(np.asarray(o_i.h), np.asarray(st.h))
+    assert np.array_equal(np.asarray(o_i.vxi), np.asarray(st.vxi))
+    assert np.isfinite(np.asarray(sig_i)).all()
+
+    o_a, sig_a = strain_and_homogenize(sys_f, st, dl, params,
+                                       active=jnp.asarray(True))
+    o_n, sig_n = strain_and_homogenize(sys_f, st, dl, params)
+    assert np.allclose(np.asarray(sig_a), np.asarray(sig_n))
+    assert np.allclose(np.asarray(o_a.pos), np.asarray(o_n.pos))
