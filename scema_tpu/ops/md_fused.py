@@ -1224,6 +1224,23 @@ class FusedRunner:
         return ch
 
 
+def _chunk_steps(rebuild_every: int) -> int:
+    """Chunk length for the list-kernel fused paths.
+
+    The chunk loop floors the step count to a multiple of the chunk
+    length, so the chunk length must divide every possible count or the
+    deform run stops short of the full strain.  nts is always a multiple
+    of 10 (stmd_problem.h:228-232 formula) and nssample is conventionally
+    too, so clamp to the largest divisor of 10 not exceeding the
+    requested rebuild interval.  (The all-pairs path has no chunks and no
+    such constraint.)
+    """
+    for d in (10, 5, 2, 1):
+        if rebuild_every >= d:
+            return d
+    return 1
+
+
 def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
     """engine.run_strain semantics on the fused kernel (chunked rebuilds,
     or a single whole-run kernel call in all-pairs mode)."""
@@ -1247,7 +1264,7 @@ def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
         frac_end = jnp.where(n_steps > 0, 1.0, 0.0).astype(dtype)
         h_end = B.deform_path(state.h, jnp.asarray(eps_eff, dtype), frac_end)
         return E.MDState(pos=pos, vel=vel, h=h_end, vxi=sacc_vxi(sacc))
-    R = runner.rebuild_every
+    R = _chunk_steps(runner.rebuild_every)
     n_steps = jnp.maximum(jnp.asarray(n_steps), R)
     n_chunks = n_steps // R
     h0 = state.h
@@ -1295,7 +1312,7 @@ def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
         press = sacc_press(sacc) / jnp.maximum(jnp.asarray(n_steps), 1)
         return E.MDState(pos=pos, vel=vel, h=state.h,
                          vxi=sacc_vxi(sacc)), press
-    R = runner.rebuild_every
+    R = _chunk_steps(runner.rebuild_every)
     n_chunks = max(1, n_steps // R)
     dtype = state.pos.dtype
     h = state.h
