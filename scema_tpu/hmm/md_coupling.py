@@ -176,9 +176,9 @@ class MDBackend:
             while K % ch != 0:  # largest divisor of K not exceeding job_chunk
                 ch -= 1
 
-            # inactive padding slots run ZERO MD steps on the fused
-            # all-pairs path — per-step cost follows jobs executed, not
-            # the static list capacity
+            # inactive padding slots collapse to one dt=0 no-op step on
+            # the fused all-pairs path — per-step cost follows jobs
+            # executed, not the static list capacity
             act = jnp.broadcast_to(slot_valid[:, None], (K, self.n_repl))
 
             def chunked(arrs):

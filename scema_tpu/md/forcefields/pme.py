@@ -108,7 +108,16 @@ class PME:
             # B-spline interpolation error sits below the target accuracy
             km = np.ceil(alpha * L / np.pi * np.sqrt(-np.log(accuracy)))
             mesh = tuple(_next_fast(int(4 * k + 1)) for k in km)
-        ew = Ewald.create(charges, cutoff, h0, accuracy=accuracy, dtype=dtype)
+        # real-space/self/exclusion helper only: the dense k-vector set is
+        # never used (the mesh replaces it), so don't enumerate it —
+        # Ewald.create's O(km^3) k-grid grows with the box and is exactly
+        # the cost PME exists to avoid
+        ew = Ewald(
+            charges=jnp.asarray(charges, dtype=dtype),
+            cutoff=cutoff,
+            alpha=alpha,
+            kvecs=jnp.zeros((0, 3), dtype=dtype),
+        )
         return PME(
             charges=jnp.asarray(charges, dtype=dtype),
             cutoff=cutoff,

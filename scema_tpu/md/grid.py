@@ -100,10 +100,12 @@ def build_grid(spec: GridSpec, pos: jax.Array, h: jax.Array) -> jax.Array:
     cid_sorted = cid[order]
     first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
     rank = jnp.arange(n) - first
+    # overflow atoms (rank >= cap) drop via the OOB scatter — clipping
+    # the rank would race slot cap-1's occupant (unspecified duplicate-
+    # index order could erase an in-capacity atom)
     grid = jnp.full((spec.cap, spec.c_pad), n, dtype=jnp.int32)
-    ok = rank < spec.cap
-    grid = grid.at[jnp.clip(rank, 0, spec.cap - 1), cid_sorted].set(
-        jnp.where(ok, order, n).astype(jnp.int32), mode="drop"
+    grid = grid.at[rank, cid_sorted].set(
+        order.astype(jnp.int32), mode="drop"
     )
     return grid
 
@@ -143,6 +145,49 @@ class _GridPair:
             yield dr, r2, mask
 
 
+def sw_moment_block(p, dr, r2, mask, acc):
+    """One neighbor-relation block's contribution to the SW moment
+    accumulators (e2, s, g^2, m, Q) — shape-agnostic over the trailing
+    axes; shared by SWGrid.energy and parallel.spatial_md.
+
+    Block axes: dr (3, i, j, ...), r2/mask (i, j, ...); accumulator
+    reductions run over the j axis (axis 1 of r2 / axis 2 of dr).
+    """
+    e2, s_m, gsq_m, mvec, Q = acc
+    rc = p.cutoff
+    sig, eps = p.sigma, p.epsilon
+    m = mask & (r2 < (rc - 1e-6) ** 2)
+    r = jnp.sqrt(jnp.where(m, r2, 1.0))
+    sr = sig / r
+    srp = sr**p.p
+    srq = sr**p.q
+    expo = jnp.exp(sig / jnp.where(m, r - rc, -1.0))
+    e2_blk = p.A * eps * (p.B * srp - srq) * expo
+    e2 = e2 + 0.5 * jnp.sum(jnp.where(m, e2_blk, 0.0))
+
+    g = jnp.where(m, jnp.exp(p.gamma * sig / jnp.where(m, r - rc, -1.0)), 0.0)
+    u = dr / r[None]
+    gu = g[None] * u
+    s_m = s_m + jnp.sum(g, axis=1)
+    gsq_m = gsq_m + jnp.sum(g * g, axis=1)
+    mvec = mvec + jnp.sum(gu, axis=2)
+    Q = Q + jnp.einsum("aijc,bijc->abic", gu, u)
+    return e2, s_m, gsq_m, mvec, Q
+
+
+def sw_three_body_from_moments(p, acc, occ):
+    """e2 + e3 from accumulated moments (the quadratic-form identity)."""
+    e2, s_m, gsq_m, mvec, Q = acc
+    m2 = jnp.sum(mvec * mvec, axis=0)
+    trq2 = jnp.einsum("abic,baic->ic", Q, Q)
+    c0 = p.costheta0
+    e3_atom = (trq2 - gsq_m) - 2.0 * c0 * (m2 - gsq_m) + c0 * c0 * (
+        s_m * s_m - gsq_m
+    )
+    e3 = 0.5 * p.lam * p.epsilon * jnp.sum(jnp.where(occ, e3_atom, 0.0))
+    return e2 + e3
+
+
 @dataclass(frozen=True)
 class SWGrid:
     """Stillinger-Weber on the cell grid (same physics as sw.SW.energy)."""
@@ -156,44 +201,20 @@ class SWGrid:
 
     def energy(self, pos: jax.Array, h: jax.Array, grid_idx: jax.Array) -> jax.Array:
         p = self.sw
-        rc = p.cutoff
-        sig, eps = p.sigma, p.epsilon
         gp = _GridPair(self.spec, pos, h, grid_idx)
         cap, C = self.spec.cap, self.spec.c_pad
         dt = pos.dtype
 
-        e2 = jnp.zeros((), dt)
-        s_m = jnp.zeros((cap, C), dt)
-        gsq_m = jnp.zeros((cap, C), dt)
-        mvec = jnp.zeros((3, cap, C), dt)
-        Q = jnp.zeros((3, 3, cap, C), dt)
-
-        for dr, r2, mask in gp.blocks():
-            m = mask & (r2 < (rc - 1e-6) ** 2)
-            r = jnp.sqrt(jnp.where(m, r2, 1.0))
-            sr = sig / r
-            srp = sr**p.p
-            srq = sr**p.q
-            expo = jnp.exp(sig / jnp.where(m, r - rc, -1.0))
-            e2_blk = p.A * eps * (p.B * srp - srq) * expo
-            e2 = e2 + 0.5 * jnp.sum(jnp.where(m, e2_blk, 0.0))
-
-            g = jnp.where(m, jnp.exp(p.gamma * sig / jnp.where(m, r - rc, -1.0)), 0.0)
-            u = dr / r[None]  # (3, cap_i, cap_j, C)
-            gu = g[None] * u
-            s_m = s_m + jnp.sum(g, axis=1)
-            gsq_m = gsq_m + jnp.sum(g * g, axis=1)
-            mvec = mvec + jnp.sum(gu, axis=2)
-            Q = Q + jnp.einsum("aijc,bijc->abic", gu, u)
-
-        m2 = jnp.sum(mvec * mvec, axis=0)
-        trq2 = jnp.einsum("abic,baic->ic", Q, Q)
-        c0 = p.costheta0
-        e3_atom = (trq2 - gsq_m) - 2.0 * c0 * (m2 - gsq_m) + c0 * c0 * (
-            s_m * s_m - gsq_m
+        acc = (
+            jnp.zeros((), dt),
+            jnp.zeros((cap, C), dt),
+            jnp.zeros((cap, C), dt),
+            jnp.zeros((3, cap, C), dt),
+            jnp.zeros((3, 3, cap, C), dt),
         )
-        e3 = 0.5 * p.lam * eps * jnp.sum(jnp.where(gp.occ, e3_atom, 0.0))
-        return e2 + e3
+        for dr, r2, mask in gp.blocks():
+            acc = sw_moment_block(p, dr, r2, mask, acc)
+        return sw_three_body_from_moments(p, acc, gp.occ)
 
 
 @dataclass(frozen=True)

@@ -145,11 +145,16 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         eps_table, sig_table, types = ff.lj_epsilon, ff.lj_sigma, ff.types
         cutoff2 = float(ff.lj_cutoff) ** 2
         weights_fn = lambda nbr: ff._pair_weights(nbr, ff.special_lj)
+        weights_coul_fn = None
         if bool(jnp.any(jnp.asarray(ff.charges) != 0.0)):
             from .forcefields.coulomb import QQR2E_REAL
 
             coul = True
             qq_table = jnp.asarray(ff.charges, dtype) * np.sqrt(QQR2E_REAL)
+            # Coulomb 1-2/1-3/1-4 scaling is separate from LJ's
+            # (special_bonds lj/coul may differ; opls.py:102-106)
+            weights_coul_fn = lambda nbr: ff._pair_weights(
+                nbr, ff.special_coul)
     elif hasattr(ff, "epsilon") and hasattr(ff, "types"):  # plain LJ
         eps_table, sig_table, types = ff.epsilon, ff.sigma, ff.types
         cutoff2 = float(ff.cutoff) ** 2
@@ -171,7 +176,8 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         interpret=jax.default_backend() == "cpu",
     )
     packed = _runner_pair_classes(
-        n, types, eps_table, sig_table, weights_fn, qq_table, nspec
+        n, types, eps_table, sig_table, weights_fn, qq_table, nspec,
+        weights_coul_fn=weights_coul_fn,
     )
     pair_cls = lut_w4e = lut_sig2 = lut_qq = None
     if packed is not None:
@@ -187,13 +193,13 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         tj = np.asarray(types)[None, :]
         eps_m = np.asarray(eps_table)[ti, tj]
         sig_m = np.asarray(sig_table)[ti, tj]
+        full = NB.NeighborList(
+            idx=jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None, :], (n, n)),
+            mask=~jnp.eye(n, dtype=bool),
+        )
         W = np.ones((n, n))
         if weights_fn is not None:
-            full = NB.NeighborList(
-                idx=jnp.broadcast_to(
-                    jnp.arange(n, dtype=jnp.int32)[None, :], (n, n)),
-                mask=~jnp.eye(n, dtype=bool),
-            )
             W = np.array(weights_fn(full))  # copy: jax arrays are read-only
         np.fill_diagonal(W, 0.0)
         npad = MFU.pad_n(n)
@@ -206,8 +212,13 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         dense_w4e = dense(4.0 * eps_m * W)
         dense_sig2 = dense(sig_m * sig_m)
         if qq_table is not None:
+            # Coulomb uses ITS OWN special-bond weights (special_coul),
+            # matching opls.py:106 — not the LJ weights
+            Wq = W if weights_coul_fn is None else np.array(
+                weights_coul_fn(full))
+            np.fill_diagonal(Wq, 0.0)
             q = np.asarray(qq_table)
-            dense_qq = dense(q[:, None] * q[None, :] * W)
+            dense_qq = dense(q[:, None] * q[None, :] * Wq)
         kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True})
     return MFU.FusedRunner(
         spec=kspec,
@@ -218,6 +229,7 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         types=jnp.asarray(types, jnp.int32),
         rebuild_every=spec.rebuild_every,
         weights_fn=weights_fn,
+        weights_coul_fn=weights_coul_fn,
         topo=topo_ch,
         qq_table=qq_table,
         pair_cls=pair_cls,
@@ -273,7 +285,7 @@ def _build_fused_runner_sw(spec: MaterialSpec, swff, masses, nspec, dtype):
 
 
 def _runner_pair_classes(n, types, eps_table, sig_table, weights_fn,
-                         qq_table, nspec):
+                         qq_table, nspec, weights_coul_fn=None):
     """(pair_cls, lut_w4e, lut_sig2, lut_qq) for the packed dense rebuild,
     or None when inapplicable (too many distinct pair parameter combos, or
     the box is outside the dense-rebuild regime).
@@ -290,22 +302,25 @@ def _runner_pair_classes(n, types, eps_table, sig_table, weights_fn,
     tj = np.asarray(types)[None, :]
     eps = np.asarray(eps_table)[ti, tj]
     sig = np.asarray(sig_table)[ti, tj]
+    import jax.numpy as _jnp
+
+    full = NB.NeighborList(
+        idx=_jnp.broadcast_to(_jnp.arange(n, dtype=_jnp.int32)[None, :],
+                              (n, n)),
+        mask=~_jnp.eye(n, dtype=bool),
+    )
     W = np.ones((n, n))
     if weights_fn is not None:
-        import jax.numpy as _jnp
-
-        full = NB.NeighborList(
-            idx=_jnp.broadcast_to(_jnp.arange(n, dtype=_jnp.int32)[None, :],
-                                  (n, n)),
-            mask=~_jnp.eye(n, dtype=bool),
-        )
         W = np.asarray(weights_fn(full))
     w4e = 4.0 * eps * W
     sig2 = sig * sig
     cols = [w4e.ravel(), sig2.ravel()]
     if qq_table is not None:
+        # Coulomb special-bond weights are separate from LJ's (opls.py:106)
+        Wq = W if weights_coul_fn is None else np.asarray(
+            weights_coul_fn(full))
         q = np.asarray(qq_table)
-        cols.append((q[:, None] * q[None, :]).ravel() * W.ravel())
+        cols.append((q[:, None] * q[None, :]).ravel() * Wq.ravel())
     stacked = np.stack(cols, axis=1)
     combos, cls_flat = np.unique(stacked, axis=0, return_inverse=True)
     if combos.shape[0] > 16:

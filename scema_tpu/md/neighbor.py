@@ -162,15 +162,21 @@ def build_dense(spec: NeighborSpec, pos: jax.Array, h: jax.Array) -> NeighborLis
 # cascade (take_along_axis of idx + (N,K,3) image gather + type/weight
 # table gathers — measured at ~10x the top_k cost on v5e):
 #
-#   bit 29   : in-range flag (top_k then puts every in-range candidate
-#              first; ordering within is irrelevant — the list is a set)
-#   bits 10+ : candidate index (N <= 2^19)
-#   bits 6-9 : pair class (index into a <=16-entry (w4e, sig2[, qq]) LUT)
-#   bits 0-5 : periodic image +1 per axis, 2 bits each (min-image shifts
-#              are always in {-1,0,1})
+#   bit 30    : in-range flag (top_k puts every in-range candidate first)
+#   bits 26-29: closeness priority (15 = touching, 0 = at r_list) — on
+#               list OVERFLOW the k largest keys are kept, so the pairs
+#               dropped are the farthest (weakest-force) ones, matching
+#               the distance-sorted generic compaction's behavior
+#   bits 10-25: candidate index (N <= 2^16; the dense regime gate is far
+#               below that)
+#   bits 6-9  : pair class (index into a <=16-entry (w4e, sig2[, qq]) LUT)
+#   bits 0-5  : periodic image +1 per axis, 2 bits each (min-image shifts
+#               are always in {-1,0,1})
 
-_PK_FLAG = 1 << 29
+_PK_FLAG = 1 << 30
+_PK_PRIO_SHIFT = 26
 _PK_IDX_SHIFT = 10
+_PK_IDX_MASK = (1 << 16) - 1
 _PK_CLS_SHIFT = 6
 _PK_CLS_MASK = 0xF
 _PK_IMG_MASK = 0x3
@@ -210,8 +216,12 @@ def build_dense_packed(
     imi = jnp.clip(img.astype(jnp.int32) + 1, 0, 2)
     img_bits = (imi[..., 0] << 4) | (imi[..., 1] << 2) | imi[..., 2]
     cand = jnp.arange(n, dtype=jnp.int32)[None, :]
+    prio = jnp.clip(
+        15 - (15.0 * dr2 / spec.r_list**2).astype(jnp.int32), 0, 15
+    )
     key = (
         jnp.where(in_range, _PK_FLAG, 0)
+        | (prio << _PK_PRIO_SHIFT)
         | (cand << _PK_IDX_SHIFT)
         | (pair_cls << _PK_CLS_SHIFT)
         | img_bits
@@ -219,7 +229,7 @@ def build_dense_packed(
     vals, _ = jax.lax.top_k(key, k)
 
     mask = vals >= _PK_FLAG
-    idx = (vals >> _PK_IDX_SHIFT) & ((1 << 19) - 1)
+    idx = (vals >> _PK_IDX_SHIFT) & _PK_IDX_MASK
     cls = (vals >> _PK_CLS_SHIFT) & _PK_CLS_MASK
     imx = ((vals >> 4) & _PK_IMG_MASK) - 1
     imy = ((vals >> 2) & _PK_IMG_MASK) - 1
@@ -343,11 +353,13 @@ def build_cells(spec: NeighborSpec, pos: jax.Array, h: jax.Array) -> NeighborLis
     cid_sorted = cid[order]
     first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
     rank = jnp.arange(n) - first
-    # occupancy table (ncells, cap); overflow entries dropped
+    # occupancy table (ncells, cap); overflow atoms (rank >= cap) are
+    # dropped by the OOB scatter itself — clipping the rank instead would
+    # make the overflow atom race the slot-(cap-1) occupant with
+    # unspecified duplicate-index ordering, possibly erasing it
     occ = jnp.full((ncells, cap), n, dtype=jnp.int32)
-    ok = rank < cap
-    occ = occ.at[cid_sorted, jnp.clip(rank, 0, cap - 1)].set(
-        jnp.where(ok, order, n).astype(jnp.int32), mode="drop"
+    occ = occ.at[cid_sorted, rank].set(
+        order.astype(jnp.int32), mode="drop"
     )
 
     # candidate ids from the 27 surrounding cells

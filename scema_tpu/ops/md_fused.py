@@ -936,14 +936,16 @@ def unpack_state(state, n):
 
 
 def pack_channels(pos, h, nbr: NB.NeighborList, eps_pair, sig_pair,
-                  weights=None, qq_pair=None, dtype=None, k_pad=None):
+                  weights=None, qq_pair=None, qq_weights=None, dtype=None,
+                  k_pad=None):
     """Neighbor channels from a built list.
 
     eps_pair/sig_pair/weights/qq_pair: (N, K) per-slot values (already
-    type-resolved).  Returns dict of (K, NT, 128) channels; invalid slots
-    carry w4e = 0 and image 0.  ``k_pad`` widens the slot axis with dead
-    slots (the dense list builder caps K at n-1, which may undershoot the
-    static kernel width).
+    type-resolved); ``qq_weights`` carries the Coulomb special-bond
+    weights when they differ from the LJ ones.  Returns dict of
+    (K, NT, 128) channels; invalid slots carry w4e = 0 and image 0.
+    ``k_pad`` widens the slot axis with dead slots (the dense list
+    builder caps K at n-1, which may undershoot the static kernel width).
     """
     dtype = dtype or pos.dtype
     n, k = nbr.idx.shape
@@ -965,6 +967,8 @@ def pack_channels(pos, h, nbr: NB.NeighborList, eps_pair, sig_pair,
             weights = pad2(weights)
         if qq_pair is not None:
             qq_pair = pad2(qq_pair)
+        if qq_weights is not None:
+            qq_weights = pad2(qq_weights)
         k = k_pad
     npad = pad_n(n)
     NT = npad // LANE
@@ -1003,7 +1007,12 @@ def pack_channels(pos, h, nbr: NB.NeighborList, eps_pair, sig_pair,
         "imz": ch(img[..., 2]),
     }
     if qq_pair is not None:
-        out["qq"] = ch(qq_pair * w)
+        wq = nbr.mask.astype(dtype)
+        if qq_weights is not None:
+            wq = wq * qq_weights.astype(dtype)
+        elif weights is not None:
+            wq = wq * weights.astype(dtype)
+        out["qq"] = ch(qq_pair * wq)
     return out
 
 
@@ -1155,6 +1164,8 @@ class FusedRunner:
     types: jax.Array  # (N,) int32
     rebuild_every: int
     weights_fn: object = None
+    weights_coul_fn: object = None  # Coulomb special-bond weights (may
+    # differ from LJ's — special_bonds lj vs coul, opls.py:102-106)
     topo: object = None
     qq_table: object = None  # (N,) charge * sqrt(qqr2e) when coul
     # packed-rebuild fast path: per-pair class matrix + value LUTs
@@ -1188,10 +1199,14 @@ class FusedRunner:
         sig_pair = self.sig_table[ti, tj]
         w = self.weights_fn(nbr) if self.weights_fn is not None else None
         qq = None
+        wq = None
         if self.qq_table is not None:
             qq = self.qq_table[:, None] * self.qq_table[nbr.idx]
+            if self.weights_coul_fn is not None:
+                wq = self.weights_coul_fn(nbr)
         ch = pack_channels(pos, h, nbr, eps_pair, sig_pair, weights=w,
-                           qq_pair=qq, dtype=pos.dtype, k_pad=self.spec.k)
+                           qq_pair=qq, qq_weights=wq, dtype=pos.dtype,
+                           k_pad=self.spec.k)
         if self.topo is not None:
             ch["topo"] = self.topo.astype(pos.dtype)
         return ch
@@ -1249,19 +1264,26 @@ def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
     spec = runner.spec
     if spec.allpairs:
         dtype = state.pos.dtype
-        # n_steps may be 0 (inactive padding job): the kernel's fori_loop
-        # exits immediately and the box stays undeformed
+        # n_steps = 0 (inactive padding job) is made safe HERE: a
+        # zero-trip dynamic fori_loop hangs the Mosaic kernel on real
+        # v5e hardware (measured; interpret mode is fine), so the kernel
+        # always runs >= 1 step and a zero request is neutralized with
+        # dt = 0 and eps = 0 — an exact no-op on the state.
         n_steps = jnp.asarray(n_steps)
+        live = n_steps > 0
+        dt_eff = jnp.where(live, dt, 0.0)
+        eps_k = jnp.where(live, jnp.asarray(eps_eff, dtype), 0.0)
         ch = runner.channels(state.pos, state.h)
         st8 = pack_state(state.pos, state.vel, runner.masses, spec.ftm2v,
                          dtype=dtype)
-        fscal = make_fscal(dt, T, state.h, eps=jnp.asarray(eps_eff, dtype),
+        fscal = make_fscal(dt_eff, T, state.h, eps=eps_k,
                            vxi=state.vxi, dtype=dtype)
-        iscal = make_iscal(n_steps, 0, jnp.maximum(n_steps, 1))
+        iscal = make_iscal(jnp.maximum(n_steps, 1), 0,
+                           jnp.maximum(n_steps, 1))
         st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
                                 deform=True, sample=False)
         pos, vel = unpack_state(st8, spec.n_atoms)
-        frac_end = jnp.where(n_steps > 0, 1.0, 0.0).astype(dtype)
+        frac_end = jnp.where(live, 1.0, 0.0).astype(dtype)
         h_end = B.deform_path(state.h, jnp.asarray(eps_eff, dtype), frac_end)
         return E.MDState(pos=pos, vel=vel, h=h_end, vxi=sacc_vxi(sacc))
     R = _chunk_steps(runner.rebuild_every)
@@ -1303,13 +1325,16 @@ def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
         ch = runner.channels(state.pos, state.h)
         st8 = pack_state(state.pos, state.vel, runner.masses, spec.ftm2v,
                          dtype=dtype)
-        fscal = make_fscal(dt, T, state.h, vxi=state.vxi, dtype=dtype)
-        iscal = make_iscal(n_steps, 0, 1)
+        # n_steps = 0 neutralized with one dt = 0 step (zero-trip dynamic
+        # loops hang Mosaic on hardware — see run_strain_fused)
+        n_arr = jnp.asarray(n_steps)
+        dt_eff = jnp.where(n_arr > 0, dt, 0.0)
+        fscal = make_fscal(dt_eff, T, state.h, vxi=state.vxi, dtype=dtype)
+        iscal = make_iscal(jnp.maximum(n_arr, 1), 0, 1)
         st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
                                 deform=False, sample=True)
         pos, vel = unpack_state(st8, spec.n_atoms)
-        # n_steps may be 0 (inactive padding job) — avoid 0/0
-        press = sacc_press(sacc) / jnp.maximum(jnp.asarray(n_steps), 1)
+        press = sacc_press(sacc) / jnp.maximum(n_arr, 1)
         return E.MDState(pos=pos, vel=vel, h=state.h,
                          vxi=sacc_vxi(sacc)), press
     R = _chunk_steps(runner.rebuild_every)

@@ -99,10 +99,11 @@ def bin_atoms(sg: ShardedGridSpec, pos: jax.Array, h: jax.Array) -> jax.Array:
     cid_sorted = cid[order]
     first = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
     rank = jnp.arange(n) - first
+    # overflow atoms (rank >= cap) drop via the OOB scatter — clipping the
+    # rank would race slot cap-1's occupant with unspecified ordering
     grid = jnp.full((sg.cap, c1 * c2 * c3), n, dtype=jnp.int32)
-    ok = rank < sg.cap
-    grid = grid.at[jnp.clip(rank, 0, sg.cap - 1), cid_sorted].set(
-        jnp.where(ok, order, n).astype(jnp.int32), mode="drop"
+    grid = grid.at[rank, cid_sorted].set(
+        order.astype(jnp.int32), mode="drop"
     )
     grid = grid.reshape(sg.cap, c1, c2 * c3)
     if sg.p_pad > c2 * c3:
@@ -111,29 +112,8 @@ def bin_atoms(sg: ShardedGridSpec, pos: jax.Array, h: jax.Array) -> jax.Array:
     return grid
 
 
-def _sw_moment_energy(p, dr, r2, mask, acc):
-    """One neighbor-relation block's contribution to the SW moment
-    accumulators (same math as grid.SWGrid.energy)."""
-    e2, s_m, gsq_m, mvec, Q = acc
-    rc = p.cutoff
-    sig, eps = p.sigma, p.epsilon
-    m = mask & (r2 < (rc - 1e-6) ** 2)
-    r = jnp.sqrt(jnp.where(m, r2, 1.0))
-    sr = sig / r
-    srp = sr**p.p
-    srq = sr**p.q
-    expo = jnp.exp(sig / jnp.where(m, r - rc, -1.0))
-    e2_blk = p.A * eps * (p.B * srp - srq) * expo
-    e2 = e2 + 0.5 * jnp.sum(jnp.where(m, e2_blk, 0.0))
-
-    g = jnp.where(m, jnp.exp(p.gamma * sig / jnp.where(m, r - rc, -1.0)), 0.0)
-    u = dr / r[None]
-    gu = g[None] * u
-    s_m = s_m + jnp.sum(g, axis=1)
-    gsq_m = gsq_m + jnp.sum(g * g, axis=1)
-    mvec = mvec + jnp.sum(gu, axis=2)
-    Q = Q + jnp.einsum("aijc,bijc->abic", gu, u)
-    return e2, s_m, gsq_m, mvec, Q
+# SW moment math shared with the single-device grid path — one
+# implementation, two layouts (md/grid.py:sw_moment_block)
 
 
 def sw_energy_sharded(sw, sg: ShardedGridSpec, mesh, pos, h,
@@ -203,17 +183,14 @@ def sw_energy_sharded(sw, sg: ShardedGridSpec, mesh, pos, h,
                 mask = own_o[:, None, :] & nocc[None, :, :]
                 if dx == 0 and o == 4:  # (0, 0, 0) relation: drop self
                     mask = mask & ~jnp.eye(cap, dtype=bool)[:, :, None]
-                acc = _sw_moment_energy(sw, drm, r2, mask, acc)
+                from ..md.grid import sw_moment_block
 
-        e2, s_m, gsq_m, mvec, Q = acc
-        m2 = jnp.sum(mvec * mvec, axis=0)
-        trq2 = jnp.einsum("abic,baic->ic", Q, Q)
-        c0 = sw.costheta0
-        e3_atom = (trq2 - gsq_m) - 2.0 * c0 * (m2 - gsq_m) + c0 * c0 * (
-            s_m * s_m - gsq_m)
-        e3 = 0.5 * sw.lam * sw.epsilon * jnp.sum(
-            jnp.where(own_o, e3_atom, 0.0))
-        return jax.lax.psum(e2 + e3, axis)
+                acc = sw_moment_block(sw, drm, r2, mask, acc)
+
+        from ..md.grid import sw_three_body_from_moments
+
+        return jax.lax.psum(
+            sw_three_body_from_moments(sw, acc, own_o), axis)
 
     fn = jax.shard_map(
         local, mesh=mesh,
