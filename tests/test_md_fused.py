@@ -426,3 +426,58 @@ def test_inactive_job_is_exact_noop():
     o_n, sig_n = strain_and_homogenize(sys_f, st, dl, params)
     assert np.allclose(np.asarray(sig_a), np.asarray(sig_n))
     assert np.allclose(np.asarray(o_a.pos), np.asarray(o_n.pos))
+
+
+def test_fused_coulomb_uses_special_coul_weights():
+    """Coulomb 1-4 scaling differs from LJ's: the fused path must weight
+    qq pairs with special_coul, not special_lj (opls.py:102-106)."""
+    import dataclasses
+    from scema_tpu.md import data_io
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    data = data_io.build_alkane_melt(8, 6)
+    # charge the beads alternately so Coulomb terms are live
+    data = dataclasses.replace(
+        data, charges=np.where(np.arange(len(data.pos)) % 2 == 0, 0.2, -0.2))
+
+    def build(use_fused):
+        ff = data_io.to_opls(data, lj_cutoff=5.0, coul_cutoff=5.0,
+                             use_ewald=False)
+        # AMBER-style split: zero LJ 1-4, half Coulomb 1-4
+        ff = dataclasses.replace(ff, special_lj=(0.0, 0.0, 0.0),
+                                 special_coul=(0.0, 0.0, 0.5))
+        spec = M.MaterialSpec(name="m", force_field="opls", validate=False,
+                              use_fused=use_fused)
+        import scema_tpu.md.neighbor as NB
+        from scema_tpu.md import engine as E
+        from scema_tpu.md.units import REAL
+
+        n = len(data.pos)
+        k_max = ((max(48, NB.required_k(n, data.box, 6.0)) + 7) // 8) * 8
+        nspec = NB.derive_spec(n, data.box, cutoff=5.0, skin=1.0,
+                               k_max=k_max)
+        masses = jnp.asarray(data.masses[data.types])
+        fused = None
+        if use_fused:
+            fused = M._build_fused_runner(spec, ff, masses, nspec,
+                                          jnp.float64)
+            assert fused is not None and fused.spec.coul
+        sys = E.MDSystem(ff=ff, masses=masses, nspec=nspec, units=REAL,
+                         rebuild_every=10, fused=fused)
+        st = E.init_state(jnp.asarray(data.pos), jnp.asarray(data.box))
+        return sys, st
+
+    sys_x, st = build(False)
+    sys_f, _ = build(True)
+    st = st._replace(vel=E.maxwell_velocities(sys_x, jax.random.PRNGKey(7),
+                                              80.0))
+    params = MDParams(temperature=80.0, dt=0.5, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, 0.0, 0.0, 0.0, 0.0, 0.0])
+    out_x, sig_x = strain_and_homogenize(sys_x, st, dl, params)
+    out_f, sig_f = strain_and_homogenize(sys_f, st, dl, params)
+    assert np.allclose(np.asarray(out_f.pos), np.asarray(out_x.pos),
+                       atol=1e-7)
+    assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-6,
+                       atol=1e2)
