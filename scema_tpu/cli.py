@@ -73,6 +73,19 @@ def cmd_run(args) -> int:
         scaler_p = scaler_p if _os.path.exists(scaler_p) else None
         surrogate_fn = load_keras_surrogate(model_p, scaler_p).as_update_fn()
         print(f"Loaded surrogate {model_p} (scaler: {scaler_p})")
+        if cfg.bridging.stress_method != 2:
+            # a loaded surrogate only drives the constitutive update under
+            # stress method 2 — silently running full MD instead would
+            # ignore the user's flag
+            print("--surrogate given: overriding 'stress computation "
+                  f"method' {cfg.bridging.stress_method} -> 2")
+            cfg = cfg.replace(
+                bridging=cfg.bridging.__class__(
+                    stress_method=2,
+                    approx_md_with_hookes_law=cfg.bridging.approx_md_with_hookes_law,
+                    use_pjm_scheduler=cfg.bridging.use_pjm_scheduler,
+                )
+            )
 
     if cfg.bridging.approx_md_with_hookes_law or cfg.bridging.stress_method != 0:
         hmm = build_hooke_hmm(cfg, surrogate_fn=surrogate_fn)
@@ -130,7 +143,10 @@ def cmd_run(args) -> int:
         from .fem.output import OutputWriter
 
         mesh = hmm.base.problem.mesh if hasattr(hmm, "base") else hmm.problem.mesh
-        writer = OutputWriter(args.outdir, mesh.nodes, mesh.cells)
+        writer = OutputWriter(
+            args.outdir, mesh.nodes, mesh.cells,
+            resume=bool(args.restart or args.restart_reference),
+        )
         # mesh wireframe EPS at init (FEProblem::visualise_mesh)
         writer.write_mesh_eps()
 
@@ -179,13 +195,17 @@ def cmd_run(args) -> int:
         )
         if writer is not None:
             o = cfg.output
-            if ts % o.visualisation_frequency == 0:
+
+            def due(freq):  # 0 = disabled (and never a ZeroDivisionError)
+                return freq > 0 and ts % freq == 0
+
+            if due(o.visualisation_frequency):
                 writer.write_visualisation(fe, ts, float(fe.time))
-            if ts % o.loaded_boundary_force_frequency == 0:
+            if due(o.loaded_boundary_force_frequency):
                 writer.write_lbc_force(ts, float(fe.time), float(out.reaction_force))
-            if ts % o.analytics_frequency == 0:
+            if due(o.analytics_frequency):
                 writer.write_lhistory(fe, ts)
-            if out.md_stress_repl is not None and ts % o.homogenization_frequency == 0:
+            if out.md_stress_repl is not None and due(o.homogenization_frequency):
                 import numpy as _np
 
                 ran = _np.nonzero(_np.asarray(out.md_ran))[0]
@@ -194,7 +214,7 @@ def cmd_run(args) -> int:
                     out.md_stress_repl, cfg.md.temperature,
                     cfg.md.strain_rate, cfg.md.force_field,
                 )
-            if ts % o.checkpoint_frequency == 0:
+            if due(o.checkpoint_frequency):
                 save_checkpoint(f"{args.outdir}/checkpoint-{ts:06d}.npz", state)
                 # reference-format lcts.* alongside (FE_problem.h:2278-2335)
                 from .fem.reference_restart import save_reference_checkpoint
@@ -242,15 +262,19 @@ def cmd_init_material(args) -> int:
         nsteps_sample=cfg.md.nsteps_sample,
     )
     outdir = args.outdir or cfg.dirs.nanoscale_input
-    ff = "sw" if "sisw" in cfg.md.scripts_directory else cfg.md.force_field
-    for mat in cfg.material.materials:
+    ff = cfg.md.force_field  # sisw quirk resolved at config load
+    for mi, mat in enumerate(cfg.material.materials):
         stiffs, rhos = [], []
         for repl in range(1, cfg.material.number_of_replicas + 1):
             spec = M.MaterialSpec(name=mat, force_field=ff, n_cells=args.cells)
             sys_, st = M.build_system(spec)
-            key = jax.random.PRNGKey(cfg.seed + repl)
-            if args.staged:
-                # in.init.lammps heatup/cooldown NPT cycle
+            # same seed stream as build_md_hmm's inline prep (per material
+            # AND per replica), so the two paths produce matching states
+            key = jax.random.PRNGKey(cfg.seed + 101 * mi + (repl - 1))
+            if not args.quick_prep:
+                # in.init.lammps heatup/cooldown NPT cycle — the
+                # production default, matching `run` (these init.* files
+                # take precedence over on-device measurement)
                 st = M.equilibrate_staged(sys_, st, params, key,
                                           ns_init=args.ns_init,
                                           minimize_steps=args.minimize_steps)
@@ -298,7 +322,7 @@ def cmd_strain_md(args) -> int:
         strain_rate=cfg.md.strain_rate,
         nsteps_sample=cfg.md.nsteps_sample,
     )
-    ff = "sw" if "sisw" in cfg.md.scripts_directory else cfg.md.force_field
+    ff = cfg.md.force_field  # sisw quirk resolved at config load
     spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff,
                           n_cells=args.cells)
     sys_, st = M.build_system(spec)
@@ -352,7 +376,7 @@ def cmd_analyse_md(args) -> int:
         strain_rate=cfg.md.strain_rate,
         nsteps_sample=cfg.md.nsteps_sample,
     )
-    ff = "sw" if "sisw" in cfg.md.scripts_directory else cfg.md.force_field
+    ff = cfg.md.force_field  # sisw quirk resolved at config load
     spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff,
                           n_cells=args.cells)
     sys_, st0 = M.build_system(spec)
@@ -401,10 +425,11 @@ def main(argv=None) -> int:
     pi.add_argument("--cells", type=int, default=3, help="lattice cells per dim")
     pi.add_argument("--minimize-steps", type=int, default=100)
     pi.add_argument("--equil-steps", type=int, default=200)
-    pi.add_argument("--staged", action="store_true",
-                    help="the reference's staged heatup/cooldown NPT prep")
+    pi.add_argument("--quick-prep", action="store_true",
+                    help="short fixed-box prep instead of the staged "
+                         "heatup/cooldown NPT cycle (debug/smoke runs)")
     pi.add_argument("--ns-init", type=int, default=100,
-                    help="stage length unit for --staged (in.init nsinit)")
+                    help="stage length unit for staged prep (in.init nsinit)")
     pi.add_argument("--outdir", default="")
     pi.add_argument("--cpu", action="store_true")
     pi.set_defaults(fn=cmd_init_material)

@@ -270,13 +270,20 @@ def _material(d):
 
 def _mdparams(d):
     m = d.get("molecular dynamics parameters", {})
+    scripts = _get(m, "scripts directory", "./lammps_scripts_opls")
+    ff = _get(m, "force field", "opls")
+    if "sisw" in scripts:
+        # the shipped streched_polyhedron example declares 'opls' but
+        # points at the Stillinger-Weber script set — resolve the quirk
+        # ONCE here so every consumer sees the effective force field
+        ff = "sw"
     return MDParamsConfig(
         temperature=float(_get(m, "temperature", 300.0)),
         timestep_length=float(_get(m, "timestep length", 2.0)),
         strain_rate=float(_get(m, "strain rate", 1.0e-4)),
         nsteps_sample=int(_get(m, "number of sampling steps", 100)),
-        scripts_directory=_get(m, "scripts directory", "./lammps_scripts_opls"),
-        force_field=_get(m, "force field", "opls"),
+        scripts_directory=scripts,
+        force_field=ff,
     )
 
 

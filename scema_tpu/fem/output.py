@@ -133,15 +133,30 @@ class OutputWriter:
     """Stateful output manager for an HMM run (frequencies from config
     'output data', dealammps.cc:286-291)."""
 
-    def __init__(self, outdir: str, nodes: np.ndarray, cells: np.ndarray):
+    def __init__(self, outdir: str, nodes: np.ndarray, cells: np.ndarray,
+                 resume: bool = False):
+        """``resume=True`` (a restarted run writing into the same outdir)
+        preserves the existing reaction-force CSV and re-reads the
+        solution.pvd collection so pre-restart timesteps stay referenced —
+        a fresh writer would silently truncate both."""
         self.outdir = outdir
         self.nodes = np.asarray(nodes)
         self.cells = np.asarray(cells)
         self.pvd_entries: list[tuple[float, str]] = []
         os.makedirs(outdir, exist_ok=True)
         self._lbc_path = os.path.join(outdir, "loaded_boundary_force.csv")
-        with open(self._lbc_path, "w") as f:
-            f.write("timestep,time,reaction_force\n")
+        pvd = os.path.join(outdir, "solution.pvd")
+        if resume and os.path.exists(pvd):
+            import re
+
+            for m in re.finditer(
+                r'<DataSet\s+timestep="([^"]+)"[^>]*file="([^"]+)"',
+                open(pvd).read(),
+            ):
+                self.pvd_entries.append((float(m.group(1)), m.group(2)))
+        if not (resume and os.path.exists(self._lbc_path)):
+            with open(self._lbc_path, "w") as f:
+                f.write("timestep,time,reaction_force\n")
 
     def write_visualisation(self, fe_state, timestep: int, time: float) -> str:
         n_qp_per_cell = len(np.asarray(fe_state.qp.new_strain)) // len(self.cells)

@@ -170,11 +170,19 @@ class MDBackend:
             # reference's round-robin batching (stmd_sync.h:583) — and on
             # the axon backend, very large fused vmaps fault the device
             ch = min(self.job_chunk, K)
+            n_dev = 1
             if self.device_mesh is not None:
                 n_dev = self.device_mesh.shape["md"]
                 ch = max(ch, n_dev)
-            while K % ch != 0:  # largest divisor of K not exceeding job_chunk
+            # largest divisor of K not exceeding job_chunk that is ALSO a
+            # multiple of the device count (the shard_map over P("md")
+            # needs every chunk divisible by n_dev; K itself is rounded
+            # up to a multiple of n_dev at build time)
+            while K % ch != 0 or ch % n_dev != 0:
                 ch -= 1
+                if ch < n_dev:
+                    ch = n_dev  # K % n_dev == 0 by construction
+                    break
 
             # inactive padding slots collapse to one dt=0 no-op step on
             # the fused all-pairs path — per-step cost follows jobs
@@ -361,11 +369,7 @@ def build_md_hmm(
     n_repl = cfg.material.number_of_replicas
     materials = list(cfg.material.materials)
 
-    ff = cfg.md.force_field
-    if "sisw" in cfg.md.scripts_directory:
-        # the shipped example declares 'opls' but points at the
-        # Stillinger-Weber script set (examples/.../inputs.json quirk)
-        ff = "sw"
+    ff = cfg.md.force_field  # sisw quirk resolved at config load
     if specs is None:
         if spec is not None:
             specs = [
@@ -420,19 +424,23 @@ def build_md_hmm(
     for mi, mspec in enumerate(specs):
         sys, st_init = M.build_system(mspec, dtype=md_dtype)
         rep_states, rep_data = [], []
+        # one jitted prep + measure program per material, reused across
+        # replicas (fresh per-replica lambdas would recompile everything)
+        if staged:
+            # the reference's in.init.lammps heatup/cooldown NPT cycle
+            # (production material prep; `equilibrate` is the fast path
+            # for tests/debug)
+            prep_fn = jax.jit(lambda key, _s=sys: M.equilibrate_staged(
+                _s, st_init, params, key, ns_init=ns_init,
+                minimize_steps=minimize_steps))
+        else:
+            prep_fn = jax.jit(lambda key, _s=sys: M.equilibrate(
+                _s, st_init, params, key, minimize_steps=minimize_steps,
+                equil_steps=equil_steps))
+        measure_fn = M.make_measure_fn(sys, params)
         for r in range(n_repl):
             key = jax.random.PRNGKey(cfg.seed + 101 * mi + r)
-            if staged:
-                # the reference's in.init.lammps heatup/cooldown NPT cycle
-                # (production material prep; `equilibrate` is the fast path
-                # for tests/debug)
-                st_r = M.equilibrate_staged(sys, st_init, params, key,
-                                            ns_init=ns_init,
-                                            minimize_steps=minimize_steps)
-            else:
-                st_r = M.equilibrate(sys, st_init, params, key,
-                                     minimize_steps=minimize_steps,
-                                     equil_steps=equil_steps)
+            st_r = prep_fn(key)
             rep_states.append(st_r)
             mr = meta[mi][r]
             if mr.length is not None and mr.stress is not None \
@@ -444,7 +452,8 @@ def build_md_hmm(
                     density=mr.rho if mr.rho is not None else 1000.0,
                 ))
             else:
-                measured = M.measure(sys, st_r, params)
+                measured = M.measure(sys, st_r, params,
+                                     measure_fn=measure_fn)
                 if mr.rho is not None:
                     measured = M.InitData(
                         length=measured.length, stress=measured.stress,

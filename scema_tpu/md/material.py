@@ -45,7 +45,11 @@ class MaterialSpec:
     lj_epsilon: float = 0.238
     lj_sigma: float = 3.405
     lj_cutoff: float = 8.0
-    neighbor_k: int = 32
+    # neighbor-list width override; None = per-force-field default
+    # (sw 20, lj/opls density-derived).  An explicit value is honored
+    # as given — it is NOT clamped down (a user raising it after a
+    # width warning must actually get the wider list).
+    neighbor_k: int | None = None
     rebuild_every: int = 10
     # opls extras: a LAMMPS data file, or the built-in alkane-melt builder
     data_file: str = ""
@@ -134,6 +138,7 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
     coul = False
     qq_table = None
     weights_fn = None
+    weights_coul_fn = None
     if hasattr(ff, "topo"):  # OPLS composite
         if ff.ewald is not None:
             return None  # reciprocal-space part has no fused path yet
@@ -145,7 +150,6 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         eps_table, sig_table, types = ff.lj_epsilon, ff.lj_sigma, ff.types
         cutoff2 = float(ff.lj_cutoff) ** 2
         weights_fn = lambda nbr: ff._pair_weights(nbr, ff.special_lj)
-        weights_coul_fn = None
         if bool(jnp.any(jnp.asarray(ff.charges) != 0.0)):
             from .forcefields.coulomb import QQR2E_REAL
 
@@ -339,7 +343,7 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         cutoff = ff.cutoff
         # SW cutoff spans only the first two diamond shells (16 atoms);
         # 20 slots cover moderate compression
-        k_max = min(spec.neighbor_k, 20)
+        k_max = spec.neighbor_k if spec.neighbor_k is not None else 20
         # NOTE: the cell-grid path (md/grid.py) is bit-exact but loses to
         # XLA temporary-materialization overhead at these sizes; it stays
         # available as the substrate for a fused Pallas kernel.  Production
@@ -350,7 +354,8 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         n = len(pos)
         ff = LJmod.single_type(spec.lj_epsilon, spec.lj_sigma, spec.lj_cutoff, n, dtype)
         cutoff = spec.lj_cutoff
-        k_max = max(spec.neighbor_k, NB.required_k(n, np.asarray(h), cutoff + 1.0))
+        k_max = max(spec.neighbor_k or 32,
+                    NB.required_k(n, np.asarray(h), cutoff + 1.0))
         k_max = ((k_max + 7) // 8) * 8
     elif spec.force_field == "opls":
         from . import data_io
@@ -369,7 +374,7 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         # size the list from density, not a constant: the default melt has
         # ~134 neighbors within the 10 A cutoff — a 96-wide list silently
         # drops in-cutoff pairs (wrong LJ/Coulomb stresses)
-        k_max = max(spec.neighbor_k,
+        k_max = max(spec.neighbor_k or 32,
                     NB.required_k(n, data.box, cutoff + 1.0))
         k_max = ((k_max + 7) // 8) * 8  # sublane-aligned for the fused path
         nspec = NB.derive_spec(n, data.box, cutoff=cutoff, skin=1.0, k_max=k_max)
@@ -488,23 +493,37 @@ def equilibrate_staged(
     return state
 
 
+def make_measure_fn(sys: E.MDSystem, params: MDParams,
+                    thermal_stiffness: bool = False):
+    """Jitted core of :func:`measure`.  Build ONCE per (system, params)
+    and reuse across replicas — jitting fresh lambdas per call (the old
+    behavior) recompiled the sampling + 12-probe stiffness program for
+    every replica, paying the full XLA compile repeatedly."""
+
+    @jax.jit
+    def _measure(state):
+        st2, press = E.sample_stress(sys, state, params.nsteps_sample,
+                                     params.temperature, params.dt)
+        C = stiffness_probe(sys, st2, params, thermal=thermal_stiffness)
+        return press, C
+
+    return _measure
+
+
 def measure(
     sys: E.MDSystem,
     state: E.MDState,
     params: MDParams,
     thermal_stiffness: bool = False,
+    measure_fn=None,
 ) -> InitData:
     """Measure equilibrium box lengths, residual stress, stiffness, density
-    (init_material_problem.h:192-295)."""
+    (init_material_problem.h:192-295).  Pass a :func:`make_measure_fn`
+    result as ``measure_fn`` when measuring several replicas."""
     L, _ = B.lengths_tilts(state.h)
-    state2, press = jax.jit(
-        lambda s: E.sample_stress(sys, s, params.nsteps_sample,
-                                  params.temperature, params.dt)
-    )(state)
+    fn = measure_fn or make_measure_fn(sys, params, thermal_stiffness)
+    press, C = fn(state)
     stress = -press * ATM_TO_PA
-    C = jax.jit(
-        lambda s: stiffness_probe(sys, s, params, thermal=thermal_stiffness)
-    )(state2)
     vol = float(B.volume(state.h))
     density = float(jnp.sum(sys.masses)) * DENSITY_CONV / vol
     return InitData(
