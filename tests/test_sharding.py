@@ -66,3 +66,44 @@ def test_sharded_pairwise_l2_matches_local():
     d_shard = np.asarray(shard_pairwise_l2(mesh)(s))
     d_local = np.asarray(pairwise_l2(s))
     assert np.allclose(d_shard, d_local, atol=1e-12)
+
+
+def test_sharded_md_coupled_step_matches_single_device():
+    """The real-MD coupled step with the job batch shard_mapped over 8
+    devices produces the same stress field as the unsharded step (the
+    dryrun only checks it executes; this checks P3 changes nothing)."""
+    from scema_tpu.hmm.md_coupling import build_md_hmm
+    from scema_tpu.md.material import MaterialSpec
+
+    cfg = HMMConfig()
+    cfg = cfg.replace(
+        mesh=cfg.mesh.__class__(x_cells=1, y_cells=1, z_cells=2),
+        time=cfg.time.__class__(timestep_length=5.0e-7, start_timestep=1,
+                                end_timestep=2),
+        bridging=cfg.bridging.__class__(stress_method=0,
+                                        approx_md_with_hookes_law=False),
+        material=cfg.material.__class__(number_of_replicas=1,
+                                        materials=("sic",),
+                                        proportions=(1.0,)),
+        md=cfg.md.__class__(temperature=0.01, timestep_length=0.05,
+                            strain_rate=1.0e-2, nsteps_sample=10,
+                            force_field="sw"),
+        dtype="float64",
+        md_dtype="float64",
+    )
+    spec = MaterialSpec(name="sic", force_field="sw", n_cells=2)
+
+    def run(mesh):
+        hmm = build_md_hmm(cfg, spec=spec, equil_steps=0, minimize_steps=10,
+                           device_mesh=mesh)
+        carry = hmm.init_state()
+        step = jax.jit(hmm.step)
+        for _ in range(2):
+            carry, out = step(carry)
+        return np.asarray(carry[0].qp.new_stress), int(out.n_jobs)
+
+    sig1, n1 = run(None)
+    sig8, n8 = run(make_mesh(8))
+    assert n1 == n8 > 0
+    scale = np.abs(sig1).max()
+    assert np.abs(sig8 - sig1).max() / scale < 1e-10
