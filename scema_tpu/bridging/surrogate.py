@@ -231,11 +231,26 @@ def _read_minmax_scaler(path: str):
         def __setstate__(self, state):
             self.__dict__.update(state if isinstance(state, dict) else {})
 
+    # allowlist policy: ONLY the numpy reconstruction globals the scaler
+    # payload actually needs resolve to real callables; sklearn classes
+    # become inert shells and anything else raises — so a hostile pickle
+    # cannot reach arbitrary callables via __reduce__.
+    _NUMPY_ALLOWED = {
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+    }
+
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
             if module.startswith("sklearn"):
                 return type(name, (_Shell,), {"__module__": module})
-            return super().find_class(module, name)
+            if (module, name) in _NUMPY_ALLOWED:
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"scaler pickle requested disallowed global {module}.{name}"
+            )
 
     with open(path, "rb") as f:
         obj = _Unpickler(f).load()

@@ -146,6 +146,8 @@ def cmd_run(args) -> int:
         writer = OutputWriter(
             args.outdir, mesh.nodes, mesh.cells,
             resume=bool(args.restart or args.restart_reference),
+            resume_timestep=int(fe_of(state).timestep)
+            if (args.restart or args.restart_reference) else None,
         )
         # mesh wireframe EPS at init (FEProblem::visualise_mesh)
         writer.write_mesh_eps()
@@ -172,8 +174,16 @@ def cmd_run(args) -> int:
             jax.block_until_ready(state)
             # a device-side fault surfaces on the transfer; force it now
             float(fe_of(state).time)
-        except Exception as e:  # noqa: BLE001 — device faults are runtime
-            if retries_left <= 0:
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            # only runtime/device faults are transient; deterministic
+            # errors (config/shape/dtype bugs) raise immediately instead
+            # of burning max_retries full macro-steps on a guaranteed loss
+            name = type(e).__name__
+            transient = isinstance(e, (OSError, RuntimeError)) or (
+                "RuntimeError" in name or "XlaRuntime" in name
+                or "Internal" in name or "Unavailable" in name
+            )
+            if not transient or retries_left <= 0:
                 raise
             retries_left -= 1
             print(f"step failed ({type(e).__name__}: {e}); rolling back to "

@@ -134,11 +134,14 @@ class OutputWriter:
     'output data', dealammps.cc:286-291)."""
 
     def __init__(self, outdir: str, nodes: np.ndarray, cells: np.ndarray,
-                 resume: bool = False):
+                 resume: bool = False, resume_timestep: int | None = None):
         """``resume=True`` (a restarted run writing into the same outdir)
         preserves the existing reaction-force CSV and re-reads the
         solution.pvd collection so pre-restart timesteps stay referenced —
-        a fresh writer would silently truncate both."""
+        a fresh writer would silently truncate both.  ``resume_timestep``
+        (the restored checkpoint's step counter) additionally drops CSV
+        rows written AFTER that step by a crashed run, so a resume never
+        appends duplicate, out-of-order rows."""
         self.outdir = outdir
         self.nodes = np.asarray(nodes)
         self.cells = np.asarray(cells)
@@ -157,6 +160,29 @@ class OutputWriter:
         if not (resume and os.path.exists(self._lbc_path)):
             with open(self._lbc_path, "w") as f:
                 f.write("timestep,time,reaction_force\n")
+        elif resume_timestep is not None:
+            self._truncate_after(resume_timestep)
+
+    def _truncate_after(self, ts: int) -> None:
+        """Rewrite appended CSVs keeping only rows with timestep <= ts."""
+        def keep(path, col):
+            if not os.path.exists(path):
+                return
+            with open(path) as f:
+                lines = f.readlines()
+            kept = [lines[0]] + [
+                ln for ln in lines[1:]
+                if ln.strip() and int(float(ln.split(",")[col])) <= ts
+            ]
+            if len(kept) != len(lines):
+                with open(path, "w") as f:
+                    f.writelines(kept)
+
+        keep(self._lbc_path, 0)
+        import glob as _glob
+
+        for p in _glob.glob(os.path.join(self.outdir, "mddata_qpid*.csv")):
+            keep(p, 2)  # time_id column
 
     def write_visualisation(self, fe_state, timestep: int, time: float) -> str:
         n_qp_per_cell = len(np.asarray(fe_state.qp.new_strain)) // len(self.cells)

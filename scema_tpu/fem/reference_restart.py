@@ -193,6 +193,21 @@ def load_reference_restart(restart_dir: str, state, geom, mesh):
 
     from . import assembly
 
+    # The serial first-seen DoF replay below is exact only for restarts
+    # produced by a single-rank reference run: parallel::shared::
+    # Triangulation renumbers DoFs subdomain-wise under >1 MPI rank, so a
+    # multi-rank lcts.solution.bin would load size-correct but scrambled.
+    procs = glob.glob(os.path.join(restart_dir, "lcts.pr_*.lhistory.bin"))
+    if len(procs) > 1:
+        raise ValueError(
+            f"{restart_dir}: {len(procs)} per-proc lhistory files — this "
+            "restart was written by a multi-rank reference run, whose "
+            "subdomain-wise DoF numbering is not reproduced here; "
+            "--restart-reference supports single-rank reference restarts "
+            "only (re-run the reference with mpirun -np 1, or restart from "
+            "this package's own npz checkpoints)"
+        )
+
     order = dealii_dof_node_order(mesh.cells, mesh.n_nodes)
     dtype = state.u.dtype
 

@@ -347,8 +347,18 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         # NOTE: the cell-grid path (md/grid.py) is bit-exact but loses to
         # XLA temporary-materialization overhead at these sizes; it stays
         # available as the substrate for a fused Pallas kernel.  Production
-        # sizes use the tile-local one-hot structure (neighbor_onehot.py).
-        use_onehot = n >= 512
+        # sizes use the tile-local one-hot structure (neighbor_onehot.py) —
+        # but only past the fused all-pairs kernel's 640-atom gate: a
+        # 512-640 atom box (e.g. a 4^3-cell diamond lattice) must reach
+        # the 16x fused kernel, not the one-hot structure.
+        fused_use = spec.use_fused
+        if fused_use is None:
+            fused_use = jax.default_backend() != "cpu"
+        fused_sw_ok = (
+            fused_use and n <= 640 and not spec.use_pallas_bricks
+            and abs(float(ff.p) - 4.0) < 1e-12 and abs(float(ff.q)) < 1e-12
+        )
+        use_onehot = n >= 512 and not fused_sw_ok
     elif spec.force_field == "lj":
         pos, h = lattice.fcc(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
         n = len(pos)

@@ -18,3 +18,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Build the native C++ runtime once per session so the C++-twin tests
+# (tests/test_native.py) execute instead of skipping.  Failures fall
+# through silently — every native entry point has a Python fallback.
+import shutil
+import subprocess
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_native = os.path.join(_repo, "native")
+if shutil.which("g++") and os.path.isdir(_native) and not os.path.exists(
+    os.path.join(_native, "libscema_native.so")
+):
+    subprocess.run(["make", "-C", _native], check=False,
+                   capture_output=True, timeout=300)
