@@ -264,6 +264,206 @@ def build_alkane_melt(
     )
 
 
+def build_pe_chain_allatom(n_carbons: int = 10,
+                           backbone_scale: float = 1.0) -> MolecularData:
+    """One all-atom polyethylene chain (the reference's OPLS material:
+    'polyethane ... type 1, 2 = C, 3 = H', lammps_scripts_opls/
+    in.set.lammps + in.strain.lammps dump_modify comment) with OPLS-AA
+    alkane parameters (Jorgensen et al. 1996).
+
+    Atom order is [C H H (H)] per heavy group — every hydrogen sits at
+    offset +1..+3 of its parent carbon, which the fused kernel's
+    roll-based SHAKE exploits (constraint partners at small static
+    offsets).  Types: 0 = CH3 carbon, 1 = CH2 carbon, 2 = H, mirroring
+    the reference's type numbering.
+    """
+    nC = n_carbons
+    rCC, rCH = 1.529, 1.09
+    thCCC = np.deg2rad(112.7)
+    thHCH = np.deg2rad(107.8)
+    # zig-zag backbone in the xz plane; ``backbone_scale`` compacts the
+    # carbon skeleton for tight melt lattices WITHOUT touching the C-H
+    # geometry (hydrogens are rebuilt at exact bond length below, so
+    # SHAKE starts from satisfied constraints)
+    dx = rCC * np.sin(thCCC / 2.0) * backbone_scale
+    dz = rCC * np.cos(thCCC / 2.0) * backbone_scale
+    cpos = np.array([[i * dx, 0.0, (i % 2) * dz] for i in range(nC)])
+
+    pos, types, charges = [], [], []
+    cidx = []  # atom index of carbon k
+    for i in range(nC):
+        end = i == 0 or i == nC - 1
+        cidx.append(len(pos))
+        pos.append(cpos[i])
+        types.append(0 if end else 1)
+        charges.append(-0.18 if end else -0.12)
+        # unit directions: bisector of the backbone angle (pointing away)
+        # and the out-of-plane normal
+        if i == 0:
+            axis = cpos[1] - cpos[0]
+        elif i == nC - 1:
+            axis = cpos[nC - 2] - cpos[nC - 1]
+        else:
+            axis = None
+        if end:
+            # 3 H staggered around the C-C axis at tetrahedral angle
+            a = axis / np.linalg.norm(axis)
+            perp1 = np.cross(a, [0.0, 1.0, 0.0])
+            perp1 /= np.linalg.norm(perp1)
+            perp2 = np.cross(a, perp1)
+            th = np.deg2rad(180.0 - 109.47)
+            for k in range(3):
+                phi = 2.0 * np.pi * k / 3.0
+                d = (np.cos(th) * (-a)
+                     + np.sin(th) * (np.cos(phi) * perp1 + np.sin(phi) * perp2))
+                pos.append(cpos[i] + rCH * d)
+                types.append(2)
+                charges.append(0.06)
+        else:
+            b1 = cpos[i - 1] - cpos[i]
+            b2 = cpos[i + 1] - cpos[i]
+            bis = -(b1 / np.linalg.norm(b1) + b2 / np.linalg.norm(b2))
+            bis /= np.linalg.norm(bis)
+            nrm = np.cross(b1, b2)
+            nrm /= np.linalg.norm(nrm)
+            for s in (+1.0, -1.0):
+                d = np.cos(thHCH / 2.0) * bis + s * np.sin(thHCH / 2.0) * nrm
+                pos.append(cpos[i] + rCH * d)
+                types.append(2)
+                charges.append(0.06)
+    pos = np.asarray(pos)
+    n = len(pos)
+
+    # topology: bond types 0 = C-C, 1 = C-H; angle types 0 = CCC,
+    # 1 = CCH, 2 = HCH; dihedral types 0 = CCCC, 1 = XCCH/HCCH
+    bonds, btyp = [], []
+    angles, atyp = [], []
+    dihedrals, dtyp = [], []
+    hyd = [[] for _ in range(nC)]
+    for i in range(nC):
+        nh = 3 if (i == 0 or i == nC - 1) else 2
+        hyd[i] = [cidx[i] + 1 + k for k in range(nh)]
+        for hj in hyd[i]:
+            bonds.append([cidx[i], hj])
+            btyp.append(1)
+        if i + 1 < nC:
+            bonds.append([cidx[i], cidx[i + 1]])
+            btyp.append(0)
+    for i in range(nC):
+        neigh = []
+        if i > 0:
+            neigh.append(cidx[i - 1])
+        if i + 1 < nC:
+            neigh.append(cidx[i + 1])
+        part = neigh + hyd[i]
+        for a in range(len(part)):
+            for b in range(a + 1, len(part)):
+                angles.append([part[a], cidx[i], part[b]])
+                ca = part[a] in neigh
+                cb = part[b] in neigh
+                atyp.append(0 if (ca and cb) else (1 if (ca or cb) else 2))
+    for i in range(nC - 1):
+        # dihedrals around bond C_i - C_{i+1}
+        left = ([cidx[i - 1]] if i > 0 else []) + hyd[i]
+        right = ([cidx[i + 2]] if i + 2 < nC else []) + hyd[i + 1]
+        for a in left:
+            for b in right:
+                dihedrals.append([a, cidx[i], cidx[i + 1], b])
+                dtyp.append(0 if (a in cidx and b in cidx) else 1)
+
+    return MolecularData(
+        masses=np.array([12.011, 12.011, 1.008]),
+        pos=pos,
+        vel=None,
+        types=np.asarray(types, dtype=np.int32),
+        charges=np.asarray(charges),
+        box=np.eye(3) * 100.0,  # placeholder; the melt builder sets it
+        pair_coeffs=np.array([[0.066, 3.50], [0.066, 3.50], [0.030, 2.50]]),
+        bonds=np.asarray(bonds, dtype=np.int32),
+        bond_types=np.asarray(btyp, dtype=np.int32),
+        bond_coeffs=np.array([[268.0, 1.529], [340.0, 1.09]]),
+        angles=np.asarray(angles, dtype=np.int32),
+        angle_types=np.asarray(atyp, dtype=np.int32),
+        angle_coeffs=np.array([[58.35, 112.7], [37.5, 110.7], [33.0, 107.8]]),
+        dihedrals=np.asarray(dihedrals, dtype=np.int32),
+        dihedral_types=np.asarray(dtyp, dtype=np.int32),
+        dihedral_coeffs=np.array([[1.3, -0.05, 0.2, 0.0],
+                                  [0.0, 0.0, 0.3, 0.0]]),
+    )
+
+
+def build_pe_melt_allatom(
+    n_chains: int = 72,
+    n_carbons: int = 10,
+    density: float = 0.70,
+) -> MolecularData:
+    """An all-atom PE melt (charged, H-bearing) — the reference's actual
+    OPLS-material class (lj/cut/coul/long + pppm + SHAKE on H).  The
+    default 72 x C10H22 = 2304 atoms starts in a ~27.1 A box; even after
+    NPT densification to ~0.85 g/cm^3 the box stays above 2x the 12 A LJ
+    cutoff (the all-pairs kernel's min-image requirement — and
+    LAMMPS's own)."""
+    mass_chain = 12.011 * n_carbons + 1.008 * (2 * n_carbons + 2)
+    vol = n_chains * mass_chain / (density * 0.6022140857)
+    L = vol ** (1.0 / 3.0)
+
+    # grid: pick the x-axis chain count so one chain spans one cell, then
+    # factor the cross-section as square as possible
+    span_x = (n_carbons - 1) * 1.529 * np.sin(np.deg2rad(112.7) / 2.0) + 2.6
+    nx = max(1, int(round(L / (span_x + 0.4))))
+    while n_chains % nx:
+        nx -= 1
+    rem = n_chains // nx
+    ny = int(round(rem**0.5))
+    while rem % ny:
+        ny -= 1
+    nz = rem // ny
+    pitch = np.array([L / nx, L / ny, L / nz])
+
+    # the backbone is compacted to fit the x pitch while the hydrogens
+    # keep exact C-H geometry (the staged heatup/cooldown equilibration
+    # decorrelates the initial alignment)
+    scale = min(1.0, 0.88 * pitch[0] / span_x)
+    single = build_pe_chain_allatom(n_carbons, backbone_scale=scale)
+    chain_local = single.pos - single.pos.mean(axis=0)
+
+    pos, types, charges = [], [], []
+    bonds, btyp, angles, atyp, dihedrals, dtyp = [], [], [], [], [], []
+    for cz in range(nz):
+        for cy in range(ny):
+            for cx in range(nx):
+                base = len(pos)
+                off = (np.array([cx, cy, cz]) + 0.5) * pitch
+                pos.extend(chain_local + off)
+                types.extend(single.types)
+                charges.extend(single.charges)
+                bonds.extend(single.bonds + base)
+                btyp.extend(single.bond_types)
+                angles.extend(single.angles + base)
+                atyp.extend(single.angle_types)
+                dihedrals.extend(single.dihedrals + base)
+                dtyp.extend(single.dihedral_types)
+
+    return MolecularData(
+        masses=single.masses,
+        pos=np.asarray(pos),
+        vel=None,
+        types=np.asarray(types, dtype=np.int32),
+        charges=np.asarray(charges),
+        box=np.eye(3) * L,
+        pair_coeffs=single.pair_coeffs,
+        bonds=np.asarray(bonds, dtype=np.int32),
+        bond_types=np.asarray(btyp, dtype=np.int32),
+        bond_coeffs=single.bond_coeffs,
+        angles=np.asarray(angles, dtype=np.int32),
+        angle_types=np.asarray(atyp, dtype=np.int32),
+        angle_coeffs=single.angle_coeffs,
+        dihedrals=np.asarray(dihedrals, dtype=np.int32),
+        dihedral_types=np.asarray(dtyp, dtype=np.int32),
+        dihedral_coeffs=single.dihedral_coeffs,
+    )
+
+
 def write_lammpstrj(path: str, pos, h, types=None, timestep: int = 0,
                     append: bool = False) -> None:
     """LAMMPS trajectory frame (the reference's optional homogenization

@@ -135,6 +135,38 @@ def _acos_poly(x):
     return jnp.where(x >= 0, pos, jnp.pi - pos)
 
 
+def make_shift_o(nt: int, o: int, in_kernel: bool):
+    """Flat-order shift-by-``o`` on (NT, 128) channels: y[i] = x[i+o].
+
+    Generalizes ``_make_shifts`` to arbitrary small offsets (|o| < 128) —
+    the substrate for offset-pattern bonded terms and roll-based SHAKE
+    (all-atom topologies put every bonded partner at a small static
+    offset of its anchor when atoms are laid out [C H H (H)] per heavy
+    group, data_io.build_pe_chain_allatom).  The wrap at the array ends
+    is harmless: pattern params are zero there.
+    """
+    if o == 0:
+        return lambda x: x
+    if not in_kernel:
+        def fn(x):
+            return jnp.roll(x.reshape(-1), -o).reshape(x.shape)
+        return fn
+    if o > 0:
+        def fn(x):
+            xl = pltpu.roll(x, LANE - o, 1)
+            xf = pltpu.roll(xl, nt - 1, 0) if nt > 1 else xl
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            return jnp.where(lane >= LANE - o, xf, xl)
+    else:
+        m = -o
+        def fn(x):
+            xr = pltpu.roll(x, m, 1)
+            xb = pltpu.roll(xr, 1, 0) if nt > 1 else xr
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            return jnp.where(lane < m, xb, xr)
+    return fn
+
+
 def _make_shifts(nt: int, in_kernel: bool):
     """Global flat-order shift-by-one ops on (NT, 128) channel arrays.
 
@@ -291,6 +323,218 @@ def bonded_chain_forces(px, py, pz, rows, nt, sample, in_kernel,
     if sample:
         # bonded virial = sum_i F_i (x) r_i (exact: every term's forces
         # sum to zero, so the origin drops out)
+        w6 = (
+            jnp.sum(fx * px), jnp.sum(fy * py), jnp.sum(fz * pz),
+            0.5 * jnp.sum(fx * py + fy * px),
+            0.5 * jnp.sum(fx * pz + fz * px),
+            0.5 * jnp.sum(fy * pz + fz * py),
+        )
+    return fx, fy, fz, w6
+
+
+# --------------------------------------------------------------------------
+# Offset-pattern bonded terms: the general-topology in-kernel bonded path.
+#
+# Every bonded term is binned by its tuple of atom-index offsets from an
+# anchor atom (bond (i, i+o); angle centered at i with partners i+oa,
+# i+ob; dihedral (i, i+ob, i+oc, i+od)).  For each distinct pattern the
+# kernel evaluates the term for ALL atoms at once with per-atom parameter
+# rows (K = 0 disables), reaching partners by lane rolls — no gathers, no
+# scatters.  Regular polymer topologies (the reference's polyethylene,
+# lammps_scripts_opls) have ~40 patterns; irregular ones fall back to the
+# XLA bonded path (pack_patterns raises).
+
+
+def pack_patterns(topo, par, n_atoms: int, dtype=jnp.float32,
+                  max_patterns: int = 64, max_offset: int = 32):
+    """Topology -> (static pattern tuple, (R, NT, 128) parameter rows).
+
+    patterns entries: ("bond", o) with rows [K, r0]; ("angle", oa, ob)
+    with rows [K, th0]; ("dihedral", ob, oc, od) with rows [K1..K4].
+    Raises ValueError for topologies that don't fit (impropers, too many
+    patterns, offsets beyond the roll window).
+    """
+    if np.asarray(topo.impropers).shape[0]:
+        raise ValueError("pack_patterns: impropers not supported")
+    npad = pad_n(n_atoms)
+    NT = npad // LANE
+
+    groups: dict[tuple, dict[int, tuple]] = {}
+
+    def add(key, anchor, params):
+        g = groups.setdefault(key, {})
+        if anchor in g:
+            raise ValueError(f"pack_patterns: duplicate {key} at {anchor}")
+        g[anchor] = params
+
+    bk = np.asarray(par.bond_k)
+    br0 = np.asarray(par.bond_r0)
+    for (i, j), t in zip(np.asarray(topo.bonds), np.asarray(topo.bond_type)):
+        if t < 0:
+            continue
+        a, b = (int(i), int(j)) if j > i else (int(j), int(i))
+        add(("bond", b - a), a, (bk[t], br0[t]))
+    ak = np.asarray(par.angle_k)
+    ath = np.asarray(par.angle_theta0)
+    for (i, j, k), t in zip(np.asarray(topo.angles),
+                            np.asarray(topo.angle_type)):
+        if t < 0:
+            continue
+        oa, ob = sorted((int(i) - int(j), int(k) - int(j)))
+        add(("angle", oa, ob), int(j), (ak[t], ath[t]))
+    dk = np.asarray(par.dihedral_k)
+    for (a, b, c, d), t in zip(np.asarray(topo.dihedrals),
+                               np.asarray(topo.dihedral_type)):
+        if t < 0:
+            continue
+        a, b, c, d = int(a), int(b), int(c), int(d)
+        add(("dihedral", b - a, c - a, d - a), a, tuple(dk[t]))
+
+    if len(groups) > max_patterns:
+        raise ValueError(
+            f"pack_patterns: {len(groups)} patterns > {max_patterns} — "
+            "irregular topology, use the XLA bonded path")
+    for key in groups:
+        if any(abs(o) >= max_offset for o in key[1:]):
+            raise ValueError(f"pack_patterns: offset too large in {key}")
+
+    patterns = tuple(sorted(groups.keys(), key=str))
+    nrows = sum(2 if k[0] in ("bond", "angle") else 4 for k in patterns)
+    rows = np.zeros((nrows, npad), dtype=np.float64)
+    r = 0
+    for key in patterns:
+        width = 2 if key[0] in ("bond", "angle") else 4
+        for anchor, params in groups[key].items():
+            rows[r:r + width, anchor] = params
+        r += width
+    return patterns, jnp.asarray(rows.reshape(nrows, NT, LANE), dtype=dtype)
+
+
+def bonded_pattern_forces(px, py, pz, rows, patterns, nt, sample,
+                          in_kernel, use_poly_acos=True):
+    """Per-atom bonded forces for offset-pattern topologies.
+
+    Same physics as ``bonded_chain_forces`` (harmonic bonds/angles, OPLS
+    dihedrals via the Blondel-Karplus gradient) but for arbitrary offset
+    patterns.  Returns (fx, fy, fz, w6).
+    """
+    acos = _acos_poly if use_poly_acos else jnp.arccos
+    dt = px.dtype
+    tiny = jnp.asarray(1e-30, dt)
+    shifts: dict[int, object] = {}
+
+    def sh(o):
+        if o not in shifts:
+            shifts[o] = make_shift_o(nt, o, in_kernel)
+        return shifts[o]
+
+    def at(o):
+        return sh(o)(px), sh(o)(py), sh(o)(pz)
+
+    fx = jnp.zeros_like(px)
+    fy = jnp.zeros_like(py)
+    fz = jnp.zeros_like(pz)
+    r = 0
+    for key in patterns:
+        kind = key[0]
+        if kind == "bond":
+            (o,) = key[1:]
+            K, r0 = rows[r], rows[r + 1]
+            r += 2
+            mask = K > 0.0
+            qx, qy, qz = at(o)
+            bx, by, bz = qx - px, qy - py, qz - pz
+            r2b = bx * bx + by * by + bz * bz
+            rb = jnp.sqrt(jnp.where(mask, r2b, 1.0))
+            fb = jnp.where(mask, 2.0 * K * (rb - r0) / rb, 0.0)
+            gx, gy, gz = fb * bx, fb * by, fb * bz
+            fx = fx + gx - sh(-o)(gx)
+            fy = fy + gy - sh(-o)(gy)
+            fz = fz + gz - sh(-o)(gz)
+        elif kind == "angle":
+            oa, ob = key[1:]
+            K, th0 = rows[r], rows[r + 1]
+            r += 2
+            mask = K > 0.0
+            ax, ay, az = at(oa)
+            bx_, by_, bz_ = at(ob)
+            r1x, r1y, r1z = ax - px, ay - py, az - pz
+            r2x, r2y, r2z = bx_ - px, by_ - py, bz_ - pz
+            d11 = jnp.where(mask, r1x * r1x + r1y * r1y + r1z * r1z, 1.0)
+            d22 = jnp.where(mask, r2x * r2x + r2y * r2y + r2z * r2z, 1.0)
+            d12 = r1x * r2x + r1y * r2y + r1z * r2z
+            inv12 = jax.lax.rsqrt(d11 * d22)
+            c = jnp.clip(d12 * inv12, -1.0 + 1e-7, 1.0 - 1e-7)
+            th = acos(c)
+            sin_th = jnp.sqrt(jnp.maximum(1.0 - c * c, tiny))
+            aE = jnp.where(mask, -2.0 * K * (th - th0) / sin_th, 0.0)
+            g1x = r2x * inv12 - c * r1x / d11
+            g1y = r2y * inv12 - c * r1y / d11
+            g1z = r2z * inv12 - c * r1z / d11
+            g2x = r1x * inv12 - c * r2x / d22
+            g2y = r1y * inv12 - c * r2y / d22
+            g2z = r1z * inv12 - c * r2z / d22
+            # F(center) = aE (g1 + g2); F(partner a) = -aE g1; similarly b
+            fx = fx + aE * (g1x + g2x) - sh(-oa)(aE * g1x) - sh(-ob)(aE * g2x)
+            fy = fy + aE * (g1y + g2y) - sh(-oa)(aE * g1y) - sh(-ob)(aE * g2y)
+            fz = fz + aE * (g1z + g2z) - sh(-oa)(aE * g1z) - sh(-ob)(aE * g2z)
+        else:  # dihedral (i, i+ob, i+oc, i+od)
+            ob_, oc_, od_ = key[1:]
+            K1, K2, K3, K4 = rows[r], rows[r + 1], rows[r + 2], rows[r + 3]
+            r += 4
+            mask = (jnp.abs(K1) + jnp.abs(K2) + jnp.abs(K3)
+                    + jnp.abs(K4)) > 0.0
+            p1x, p1y, p1z = at(ob_)
+            p2x, p2y, p2z = at(oc_)
+            p3x, p3y, p3z = at(od_)
+            b1x, b1y, b1z = p1x - px, p1y - py, p1z - pz
+            b2x, b2y, b2z = p2x - p1x, p2y - p1y, p2z - p1z
+            b3x, b3y, b3z = p3x - p2x, p3y - p2y, p3z - p2z
+            n1x = b1y * b2z - b1z * b2y
+            n1y = b1z * b2x - b1x * b2z
+            n1z = b1x * b2y - b1y * b2x
+            n2x = b2y * b3z - b2z * b3y
+            n2y = b2z * b3x - b2x * b3z
+            n2z = b2x * b3y - b2y * b3x
+            n1sq = jnp.where(mask, n1x * n1x + n1y * n1y + n1z * n1z, 1.0)
+            n2sq = jnp.where(mask, n2x * n2x + n2y * n2y + n2z * n2z, 1.0)
+            b2sq = jnp.where(mask, b2x * b2x + b2y * b2y + b2z * b2z, 1.0)
+            nb2 = jnp.sqrt(b2sq)
+            inv_nn = jax.lax.rsqrt(n1sq * n2sq)
+            cphi = (n1x * n2x + n1y * n2y + n1z * n2z) * inv_nn
+            cxx = n1y * n2z - n1z * n2y
+            cxy = n1z * n2x - n1x * n2z
+            cxz = n1x * n2y - n1y * n2x
+            sphi = (cxx * b2x + cxy * b2y + cxz * b2z) * inv_nn / nb2
+            s_, c_ = sphi, cphi
+            sin2 = 2.0 * s_ * c_
+            sin3 = s_ * (3.0 - 4.0 * s_ * s_)
+            cos2 = 1.0 - 2.0 * s_ * s_
+            sin4 = 2.0 * sin2 * cos2
+            dEdphi = 0.5 * (-K1 * s_ + 2.0 * K2 * sin2 - 3.0 * K3 * sin3
+                            + 4.0 * K4 * sin4)
+            dEdphi = jnp.where(mask, dEdphi, 0.0)
+            c0 = nb2 / n1sq
+            c3 = nb2 / n2sq
+            dp0x, dp0y, dp0z = -c0 * n1x, -c0 * n1y, -c0 * n1z
+            dp3x, dp3y, dp3z = c3 * n2x, c3 * n2y, c3 * n2z
+            ts = (b1x * b2x + b1y * b2y + b1z * b2z) / b2sq
+            tu = (b3x * b2x + b3y * b2y + b3z * b2z) / b2sq
+            dp1x = -(1.0 + ts) * dp0x + tu * dp3x
+            dp1y = -(1.0 + ts) * dp0y + tu * dp3y
+            dp1z = -(1.0 + ts) * dp0z + tu * dp3z
+            dp2x = ts * dp0x - (1.0 + tu) * dp3x
+            dp2y = ts * dp0y - (1.0 + tu) * dp3y
+            dp2z = ts * dp0z - (1.0 + tu) * dp3z
+            fx = fx - dEdphi * dp0x - sh(-ob_)(dEdphi * dp1x) \
+                - sh(-oc_)(dEdphi * dp2x) - sh(-od_)(dEdphi * dp3x)
+            fy = fy - dEdphi * dp0y - sh(-ob_)(dEdphi * dp1y) \
+                - sh(-oc_)(dEdphi * dp2y) - sh(-od_)(dEdphi * dp3y)
+            fz = fz - dEdphi * dp0z - sh(-ob_)(dEdphi * dp1z) \
+                - sh(-oc_)(dEdphi * dp2z) - sh(-od_)(dEdphi * dp3z)
+
+    w6 = None
+    if sample:
         w6 = (
             jnp.sum(fx * px), jnp.sum(fy * py), jnp.sum(fz * pz),
             0.5 * jnp.sum(fx * py + fy * px),
