@@ -333,6 +333,117 @@ def bonded_chain_forces(px, py, pz, rows, nt, sample, in_kernel,
 
 
 # --------------------------------------------------------------------------
+# Roll-based SHAKE/RATTLE: in-kernel bond constraints for offset-regular
+# topologies (the reference's ``fix shake ... m 1.0`` — C-H bonds rigid,
+# in.strain.lammps).  Exact twin of md/constraints.py's Jacobi sweeps
+# with constraint partners reached by lane rolls.
+
+
+def pack_shake(cons_idx, d0, n_atoms: int, dtype=jnp.float32,
+               max_offset: int = 8):
+    """Constraints -> (static offsets tuple, (n_off, NT, 128) d0^2 rows).
+
+    Each constraint (i, j) must have j - i in a small static offset set
+    (the [C H H (H)] layout guarantees offsets 1..3).  A zero d0^2 row
+    entry disables the slot.
+    """
+    cons_idx = np.asarray(cons_idx)
+    d0 = np.asarray(d0)
+    npad = pad_n(n_atoms)
+    NT = npad // LANE
+    groups: dict[int, dict[int, float]] = {}
+    for (i, j), d in zip(cons_idx, d0):
+        a, b = (int(i), int(j)) if j > i else (int(j), int(i))
+        o = b - a
+        if o >= max_offset:
+            raise ValueError(f"pack_shake: constraint offset {o} too large")
+        g = groups.setdefault(o, {})
+        if a in g:
+            raise ValueError(f"pack_shake: duplicate constraint at {a}+{o}")
+        g[a] = float(d)
+    offsets = tuple(sorted(groups))
+    rows = np.zeros((len(offsets), npad), dtype=np.float64)
+    for k, o in enumerate(offsets):
+        for a, d in groups[o].items():
+            rows[k, a] = d * d
+    return offsets, jnp.asarray(rows.reshape(len(offsets), NT, LANE),
+                                dtype=dtype)
+
+
+def shake_rolls(p, p_old, invm, offsets, rows, nt, in_kernel,
+                n_iters: int = 20, relax: float = 0.8):
+    """Jacobi SHAKE on (3 x (NT,128)) position channels; returns corrected
+    positions.  ``invm`` may carry any constant factor (it cancels)."""
+    shs = [(make_shift_o(nt, o, in_kernel), make_shift_o(nt, -o, in_kernel))
+           for o in offsets]
+    masks = [jnp.where(rows[k] > 0.0, 1.0, 0.0).astype(p[0].dtype)
+             for k in range(len(offsets))]
+    winv = [invm + sh(invm) for (sh, _) in shs]
+    invm_j = [sh(invm) for (sh, _) in shs]
+    old = [tuple(sh(c) - c for c in p_old) for (sh, _) in shs]
+
+    def sweep(_, p):
+        px, py, pz = p
+        dx_acc = jnp.zeros_like(px)
+        dy_acc = jnp.zeros_like(py)
+        dz_acc = jnp.zeros_like(pz)
+        for k, (sh, shb) in enumerate(shs):
+            ox, oy, oz = old[k]
+            rx = sh(px) - px
+            ry = sh(py) - py
+            rz = sh(pz) - pz
+            diff = rx * rx + ry * ry + rz * rz - rows[k]
+            denom = 2.0 * (rx * ox + ry * oy + rz * oz) * winv[k] + 1e-30
+            g = masks[k] * relax * diff / denom
+            cx, cy, cz = g * ox, g * oy, g * oz
+            dx_acc += cx * invm - shb(cx * invm_j[k])
+            dy_acc += cy * invm - shb(cy * invm_j[k])
+            dz_acc += cz * invm - shb(cz * invm_j[k])
+        return (px + dx_acc, py + dy_acc, pz + dz_acc)
+
+    return jax.lax.fori_loop(0, n_iters, sweep, p)
+
+
+def rattle_rolls(v, p, invm, offsets, rows, nt, in_kernel,
+                 n_iters: int = 10, relax: float = 0.8):
+    """Jacobi RATTLE: remove relative velocity along constrained bonds."""
+    shs = [(make_shift_o(nt, o, in_kernel), make_shift_o(nt, -o, in_kernel))
+           for o in offsets]
+    masks = [jnp.where(rows[k] > 0.0, 1.0, 0.0).astype(v[0].dtype)
+             for k in range(len(offsets))]
+    winv = [invm + sh(invm) for (sh, _) in shs]
+    invm_j = [sh(invm) for (sh, _) in shs]
+    px, py, pz = p
+    geo = []
+    for k, (sh, _) in enumerate(shs):
+        rx = sh(px) - px
+        ry = sh(py) - py
+        rz = sh(pz) - pz
+        r2 = rx * rx + ry * ry + rz * rz
+        geo.append((rx, ry, rz, r2))
+
+    def sweep(_, v):
+        vx, vy, vz = v
+        dx_acc = jnp.zeros_like(vx)
+        dy_acc = jnp.zeros_like(vy)
+        dz_acc = jnp.zeros_like(vz)
+        for k, (sh, shb) in enumerate(shs):
+            rx, ry, rz, r2 = geo[k]
+            dvx = sh(vx) - vx
+            dvy = sh(vy) - vy
+            dvz = sh(vz) - vz
+            kk = masks[k] * relax * (dvx * rx + dvy * ry + dvz * rz) / (
+                r2 * winv[k] + 1e-30)
+            cx, cy, cz = kk * rx, kk * ry, kk * rz
+            dx_acc += cx * invm - shb(cx * invm_j[k])
+            dy_acc += cy * invm - shb(cy * invm_j[k])
+            dz_acc += cz * invm - shb(cz * invm_j[k])
+        return (vx + dx_acc, vy + dy_acc, vz + dz_acc)
+
+    return jax.lax.fori_loop(0, n_iters, sweep, v)
+
+
+# --------------------------------------------------------------------------
 # Offset-pattern bonded terms: the general-topology in-kernel bonded path.
 #
 # Every bonded term is binned by its tuple of atom-index offsets from an

@@ -105,7 +105,8 @@ def _remap_coeffs(h_old, h_new):
             nly * i11, nly * i12 + nyz * i22, nlz * i22)
 
 
-def make_slim_kernel(NT, variant):
+def make_slim_kernel(NT, variant, jobs=1):
+    # NT = lane tiles PER JOB; the state carries jobs*NT tiles
     NPAD = NT * LANE
 
     def kernel(iscal_ref, fscal_ref, state_ref, w4e_ref, sig2_ref,
@@ -119,7 +120,7 @@ def make_slim_kernel(NT, variant):
         eps = tuple(fscal_ref[0, 8 + i] for i in range(6))
         invm = state_ref[0, 6]
         mftm = state_ref[0, 7]
-        ndof = 3 * N_ATOMS - 3
+        ndof = (3 * N_ATOMS - 3) * jobs
 
         def h_of(g):
             frac = g.astype(dtype) / n_tot.astype(dtype)
@@ -180,11 +181,14 @@ def make_slim_kernel(NT, variant):
             lx, ly, lz, xy, xz, yz = h6
             inv_lx, inv_ly, inv_lz = 1.0 / lx, 1.0 / ly, 1.0 / lz
             n1_s, n2_s, n3_s = scratch
-            for t in range(NT):
+            for j in range(jobs):
+              for tj in range(NT):
+                t = j * NT + tj
                 xi = px[t].reshape(1, LANE)
                 yi = py[t].reshape(1, LANE)
                 zi = pz[t].reshape(1, LANE)
-                for u in range(NT):
+                for uj in range(NT):
+                    u = j * NT + uj
                     xj = jnp.swapaxes(px[u].reshape(1, LANE), 0, 1)
                     yj = jnp.swapaxes(py[u].reshape(1, LANE), 0, 1)
                     zj = jnp.swapaxes(pz[u].reshape(1, LANE), 0, 1)
@@ -199,7 +203,7 @@ def make_slim_kernel(NT, variant):
                     dx = dx + n3 * xz + n2 * xy
                     n1 = -jnp.round(dx * inv_lx)
                     sl = (slice(u * LANE, (u + 1) * LANE),
-                          slice(t * LANE, (t + 1) * LANE))
+                          slice(tj * LANE, (tj + 1) * LANE))
                     n1_s[sl] = n1
                     n2_s[sl] = n2
                     n3_s[sl] = n3
@@ -214,10 +218,71 @@ def make_slim_kernel(NT, variant):
                 (jnp.swapaxes(px[u].reshape(1, LANE), 0, 1),
                  jnp.swapaxes(py[u].reshape(1, LANE), 0, 1),
                  jnp.swapaxes(pz[u].reshape(1, LANE), 0, 1))
+                for u in range(NT * jobs)
+            ]
+            acc = [[jnp.zeros((LANE, LANE), dtype) for _ in range(3)]
+                   for _ in range(NT * jobs)]
+            for j in range(jobs):
+              for tj in range(NT):
+                t = j * NT + tj
+                xi = px[t].reshape(1, LANE)
+                yi = py[t].reshape(1, LANE)
+                zi = pz[t].reshape(1, LANE)
+                for uj in range(tj, NT):
+                    u = j * NT + uj
+                    xj, yj, zj = cols[u]
+                    sl = (slice(u * LANE, (u + 1) * LANE),
+                          slice(tj * LANE, (tj + 1) * LANE))
+                    w4e = w4e_ref[0][slice(uj * LANE, (uj + 1) * LANE),
+                                     slice(tj * LANE, (tj + 1) * LANE)]
+                    sig2 = sig2_ref[0][slice(uj * LANE, (uj + 1) * LANE),
+                                       slice(tj * LANE, (tj + 1) * LANE)]
+                    n1 = n1_s[sl]
+                    n2 = n2_s[sl]
+                    n3 = n3_s[sl]
+                    dx = xj - xi + n1 * lx + n2 * xy + n3 * xz
+                    dy = yj - yi + n2 * ly + n3 * yz
+                    dz = zj - zi + n3 * lz
+                    r2 = dx * dx + dy * dy + dz * dz
+                    live = r2 < CUTOFF2
+                    r2c = jnp.maximum(r2, R2MIN)
+                    inv_r2 = 1.0 / r2c
+                    s2 = sig2 * inv_r2
+                    s6 = s2 * s2 * s2
+                    fpair = jnp.where(
+                        live, w4e * (2.0 * s6 * s6 - s6) * inv_r2, 0.0)
+                    wx = fpair * dx
+                    wy = fpair * dy
+                    wz = fpair * dz
+                    acc[t][0] = acc[t][0] - wx
+                    acc[t][1] = acc[t][1] - wy
+                    acc[t][2] = acc[t][2] - wz
+                    if u > t:
+                        acc[u][0] = acc[u][0] + jnp.swapaxes(wx, 0, 1)
+                        acc[u][1] = acc[u][1] + jnp.swapaxes(wy, 0, 1)
+                        acc[u][2] = acc[u][2] + jnp.swapaxes(wz, 0, 1)
+            fxs = [jnp.sum(acc[t][0], axis=0) for t in range(NT * jobs)]
+            fys = [jnp.sum(acc[t][1], axis=0) for t in range(NT * jobs)]
+            fzs = [jnp.sum(acc[t][2], axis=0) for t in range(NT * jobs)]
+            return jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs)
+
+        def forces_newton_mxu(px, py, pz, h6):
+            """v8: like v5 but the reaction sum of block (t,u) u>t runs as
+            an MXU matvec (wx @ ones -> column) instead of an XLU
+            transpose; per-tile column accumulators are transposed once."""
+            lx, ly, lz, xy, xz, yz = h6
+            n1_s, n2_s, n3_s = scratch
+            ones_col = jnp.ones((LANE, 1), dtype)
+            cols = [
+                (jnp.swapaxes(px[u].reshape(1, LANE), 0, 1),
+                 jnp.swapaxes(py[u].reshape(1, LANE), 0, 1),
+                 jnp.swapaxes(pz[u].reshape(1, LANE), 0, 1))
                 for u in range(NT)
             ]
             acc = [[jnp.zeros((LANE, LANE), dtype) for _ in range(3)]
                    for _ in range(NT)]
+            accc = [[jnp.zeros((LANE, 1), dtype) for _ in range(3)]
+                    for _ in range(NT)]
             for t in range(NT):
                 xi = px[t].reshape(1, LANE)
                 yi = py[t].reshape(1, LANE)
@@ -249,12 +314,24 @@ def make_slim_kernel(NT, variant):
                     acc[t][1] = acc[t][1] - wy
                     acc[t][2] = acc[t][2] - wz
                     if u > t:
-                        acc[u][0] = acc[u][0] + jnp.swapaxes(wx, 0, 1)
-                        acc[u][1] = acc[u][1] + jnp.swapaxes(wy, 0, 1)
-                        acc[u][2] = acc[u][2] + jnp.swapaxes(wz, 0, 1)
-            fxs = [jnp.sum(acc[t][0], axis=0) for t in range(NT)]
-            fys = [jnp.sum(acc[t][1], axis=0) for t in range(NT)]
-            fzs = [jnp.sum(acc[t][2], axis=0) for t in range(NT)]
+                        accc[u][0] = accc[u][0] + jax.lax.dot_general(
+                            wx, ones_col, (((1,), (0,)), ((), ())),
+                            preferred_element_type=dtype)
+                        accc[u][1] = accc[u][1] + jax.lax.dot_general(
+                            wy, ones_col, (((1,), (0,)), ((), ())),
+                            preferred_element_type=dtype)
+                        accc[u][2] = accc[u][2] + jax.lax.dot_general(
+                            wz, ones_col, (((1,), (0,)), ((), ())),
+                            preferred_element_type=dtype)
+            fxs = [jnp.sum(acc[t][0], axis=0)
+                   + jnp.swapaxes(accc[t][0], 0, 1).reshape(LANE)
+                   for t in range(NT)]
+            fys = [jnp.sum(acc[t][1], axis=0)
+                   + jnp.swapaxes(accc[t][1], 0, 1).reshape(LANE)
+                   for t in range(NT)]
+            fzs = [jnp.sum(acc[t][2], axis=0)
+                   + jnp.swapaxes(accc[t][2], 0, 1).reshape(LANE)
+                   for t in range(NT)]
             return jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs)
 
         def forces_cached(px, py, pz, h6, trim, unisig):
@@ -331,8 +408,10 @@ def make_slim_kernel(NT, variant):
         def forces(px, py, pz, h6):
             if variant == "v1":
                 return forces_v1(px, py, pz, h6)
-            if variant == "v5":
+            if variant in ("v5", "v7"):
                 return forces_newton(px, py, pz, h6)
+            if variant == "v8":
+                return forces_newton_mxu(px, py, pz, h6)
             return forces_cached(px, py, pz, h6,
                                  trim=variant in ("v3", "v4"),
                                  unisig=variant == "v4")
@@ -440,30 +519,30 @@ def make_slim_kernel(NT, variant):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("variant", "nt"))
-def run_slim(variant, nt, state, w4e, sig2, iscal, fscal):
+@partial(jax.jit, static_argnames=("variant", "nt", "jobs"))
+def run_slim(variant, nt, state, w4e, sig2, iscal, fscal, jobs=1):
     NPAD = nt * LANE
-    kern = make_slim_kernel(nt, variant)
+    kern = make_slim_kernel(nt, variant, jobs=jobs)
     dense = pl.BlockSpec((1, NPAD, NPAD), lambda: (0, 0, 0))
     scratch = []
     if variant != "v1":
-        scratch = [pltpu.VMEM((NPAD, NPAD), state.dtype)] * 3
+        scratch = [pltpu.VMEM((jobs * NPAD, NPAD), state.dtype)] * 3
     out = pl.pallas_call(
         kern,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=(
-            jax.ShapeDtypeStruct((1, 8, nt, LANE), state.dtype),
+            jax.ShapeDtypeStruct((1, 8, jobs * nt, LANE), state.dtype),
             jax.ShapeDtypeStruct((1, 8), state.dtype),
         ),
         in_specs=[
             pl.BlockSpec((1, 2), lambda: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 20), lambda: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, nt, LANE), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 8, jobs * nt, LANE), lambda: (0, 0, 0, 0)),
             dense, dense,
         ],
         out_specs=(
-            pl.BlockSpec((1, 8, nt, LANE), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 8, jobs * nt, LANE), lambda: (0, 0, 0, 0)),
             pl.BlockSpec((1, 8), lambda: (0, 0), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=scratch,
@@ -523,17 +602,21 @@ def main(variants):
         if v == "v0":
             time_v0()
             continue
-        w4e_v = w4e * (6.0 if v in ("v3", "v4") else 1.0)
-        batch = jnp.broadcast_to(state, (N_JOBS,) + state.shape)
-        w4e_b = jnp.broadcast_to(w4e_v, (N_JOBS,) + w4e.shape)
-        sig2_b = jnp.broadcast_to(sig2, (N_JOBS,) + sig2.shape)
-        isb = jnp.broadcast_to(iscal, (N_JOBS,) + iscal.shape)
-        fsb = jnp.broadcast_to(fscal, (N_JOBS,) + fscal.shape)
+        w4e_v = w4e * (6.0 if v in ("v3", "v4", "v5", "v7", "v8") else 1.0)
+        jobs = 2 if v == "v7" else 1
+        nprog = N_JOBS // jobs
+        st2 = jnp.concatenate([state] * jobs, axis=1)
+        batch = jnp.broadcast_to(st2, (nprog,) + st2.shape)
+        w4e_b = jnp.broadcast_to(w4e_v, (nprog,) + w4e.shape)
+        sig2_b = jnp.broadcast_to(sig2, (nprog,) + sig2.shape)
+        isb = jnp.broadcast_to(iscal, (nprog,) + iscal.shape)
+        fsb = jnp.broadcast_to(fscal, (nprog,) + fscal.shape)
 
         @jax.jit
-        def run_batch(b, w, s2_, ib, fb, v=v):
+        def run_batch(b, w, s2_, ib, fb, v=v, jobs=jobs):
             return jax.vmap(
-                lambda st_, w_, s_, i_, f_: run_slim(v, NT, st_, w_, s_, i_, f_)
+                lambda st_, w_, s_, i_, f_: run_slim(v, NT, st_, w_, s_, i_,
+                                                     f_, jobs=jobs)
             )(b, w, s2_, ib, fb)
 
         time_variant(v, run_batch, batch, w4e_b, sig2_b, isb, fsb)
