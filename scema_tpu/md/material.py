@@ -190,7 +190,7 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
     # all-pairs mode for small boxes (the HMM's per-qp regime): dense
     # position-independent parameter matrices -> zero rebuilds, one kernel
     # call per MD run.  VMEM budget: 3 x NPAD^2 floats (3 MB at 512 atoms).
-    dense_w4e = dense_sig2 = dense_qq = None
+    dense_lj1 = dense_lj2 = dense_qq = None
     allpairs = n <= 640  # _build_fused_runner is only reached when fused
     if allpairs:
         ti = np.asarray(types)[:, None]
@@ -213,8 +213,11 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
             out[:n, :n] = mat
             return jnp.asarray(out, dtype)
 
-        dense_w4e = dense(4.0 * eps_m * W)
-        dense_sig2 = dense(sig_m * sig_m)
+        # LAMMPS pair_lj precomputed force coefficients (pair_lj.cpp's
+        # lj1/lj2): F/r = lj1/r^14 - lj2/r^8 — the kernel's 5-op form
+        sig6 = sig_m ** 6
+        dense_lj1 = dense(48.0 * eps_m * sig6 * sig6 * W)  # lj1
+        dense_lj2 = dense(24.0 * eps_m * sig6 * W)        # lj2
         if qq_table is not None:
             # Coulomb uses ITS OWN special-bond weights (special_coul),
             # matching opls.py:106 — not the LJ weights
@@ -240,8 +243,8 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         lut_w4e=lut_w4e,
         lut_sig2=lut_sig2,
         lut_qq=lut_qq,
-        dense_w4e=dense_w4e,
-        dense_sig2=dense_sig2,
+        dense_lj1=dense_lj1,
+        dense_lj2=dense_lj2,
         dense_qq=dense_qq,
     )
 

@@ -89,13 +89,24 @@ class FusedSpec:
     bonded: bool = False  # chain-structured bonds/angles/dihedrals
     interpret: bool = False
     # all-pairs tile-pair mode: no neighbor list, no gathers, no rebuilds —
-    # per-pair parameters are dense (NPAD, NPAD) VMEM-resident matrices and
-    # min-image shifts are computed per pair per step (exact for any box
-    # taller than 2x cutoff).  The whole strain/sampling run is ONE kernel
-    # call.  Wins below ~1k atoms where (NT^2) 128x128 tile math at VPU
-    # rate beats gather-bound list traversal; the HMM's per-qp boxes
-    # (~512 atoms) live exactly there.
+    # per-pair parameters are dense (NPAD, NPAD) VMEM-resident matrices
+    # (lj1 = 48 eps sig^12, lj2 = 24 eps sig^6 — LAMMPS pair_lj's
+    # precomputed force coefficients) and min-image integers are CACHED in
+    # VMEM scratch, refreshed every ``img_refresh`` steps.  The cache is
+    # exact, not approximate: with every box height > 2x cutoff at most
+    # one periodic image of a pair can sit inside the cutoff, and a pair's
+    # min-image integer only changes while it is outside the cutoff (the
+    # change happens at |d| >= L/2 > rc), where the force is zero either
+    # way.  Only the upper block triangle (u >= t) is computed — the
+    # reaction force rides a (128,128) XLU transpose, concurrent with the
+    # VPU pair math.  The whole strain/sampling run is ONE kernel call.
+    # Wins below ~1k atoms where (NT^2) 128x128 tile math at VPU rate
+    # beats gather-bound list traversal; the HMM's per-qp boxes (~512
+    # atoms) live exactly there.
     allpairs: bool = False
+    img_refresh: int = 20  # steps between min-image cache refreshes;
+    # exactness needs drift < (L/2 - rc) between refreshes — ~2.3 A for
+    # the 24.6 A melt, >100 steps at melt velocities; 20 is conservative
     # Stillinger-Weber all-pairs mode (single species, p=4/q=0 family):
     # two tile-pair sweeps per step — moments (s, g^2, m, Q) then the
     # hand-derived per-pair force with per-atom three-body adjoints
@@ -718,7 +729,7 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
 
     def kernel(iscal_ref, fscal_ref, state_ref, idx_ref, w4e_ref, sig2_ref,
                imx_ref, imy_ref, imz_ref, qq_ref, topo_ref,
-               state_out, sacc_ref):
+               state_out, sacc_ref, *scratch):
         dtype = state_ref.dtype
         n_run = iscal_ref[0, _I_NRUN]
         gstep0 = iscal_ref[0, _I_GSTEP0]
@@ -910,15 +921,52 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 fzs.append(fz_t.reshape(LANE))
             return (jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs), w6)
 
-        def forces_allpairs(px, py, pz, h6):
-            """Tile-pair all-pairs forces: dense (128, 128) blocks, zero
-            gathers.  Block layout [s, l] = pair (j = u*128+s source rows,
-            i = t*128+l target lanes); parameter matrices are symmetric so
-            [j, i] indexing reads them directly.  Min image by sequential
-            upper-triangular rounding (exact while every box height exceeds
-            2x cutoff — guaranteed by the setup-time validate)."""
+        def refresh_images(px, py, pz, h6):
+            """Recompute min-image integers into VMEM scratch (upper block
+            triangle only — forces never read u < t).  Sequential
+            upper-triangular rounding, sign-flipped so the force path can
+            reconstruct shifts with pure FMAs: d = (r_u - r_t) + n . h."""
             lx, ly, lz, xy, xz, yz = h6
             inv_lx, inv_ly, inv_lz = 1.0 / lx, 1.0 / ly, 1.0 / lz
+            n1_s, n2_s, n3_s = scratch
+            for t in range(NT):
+                xi = px[t].reshape(1, LANE)
+                yi = py[t].reshape(1, LANE)
+                zi = pz[t].reshape(1, LANE)
+                for u in range(t, NT):
+                    xj = jnp.swapaxes(px[u].reshape(1, LANE), 0, 1)
+                    yj = jnp.swapaxes(py[u].reshape(1, LANE), 0, 1)
+                    zj = jnp.swapaxes(pz[u].reshape(1, LANE), 0, 1)
+                    dx = xj - xi
+                    dy = yj - yi
+                    dz = zj - zi
+                    n3 = -jnp.round(dz * inv_lz)
+                    dz = dz + n3 * lz
+                    dy = dy + n3 * yz
+                    n2 = -jnp.round(dy * inv_ly)
+                    dy = dy + n2 * ly
+                    dx = dx + n3 * xz + n2 * xy
+                    n1 = -jnp.round(dx * inv_lx)
+                    sl = (slice(u * LANE, (u + 1) * LANE),
+                          slice(t * LANE, (t + 1) * LANE))
+                    n1_s[sl] = n1
+                    n2_s[sl] = n2
+                    n3_s[sl] = n3
+
+        def forces_allpairs(px, py, pz, h6):
+            """Tile-pair all-pairs forces: dense (128, 128) blocks, zero
+            gathers, Newton-halved.  Block layout [s, l] = pair
+            (j = u*128+s source rows, i = t*128+l target lanes); parameter
+            matrices are symmetric so [j, i] indexing reads them directly.
+            Min-image shifts come from the VMEM integer cache (see
+            FusedSpec.img_refresh — exact, not approximate); only blocks
+            u >= t are computed and the reaction on tile u is accumulated
+            through a (128,128) transpose (XLU, concurrent with the VPU
+            pair math).  Pair force uses the LAMMPS lj1/lj2 coefficient
+            form: F/r = (lj1 u^3 - lj2) u^4 with u = 1/r^2 — 5 vector ops
+            against 7 for the sigma^2-power form."""
+            lx, ly, lz, xy, xz, yz = h6
+            n1_s, n2_s, n3_s = scratch
             # one transpose per source tile per step: lane row -> sublane col
             cols = [
                 (
@@ -928,65 +976,66 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 )
                 for u in range(NT)
             ]
-            fxs, fys, fzs = [], [], []
+            acc = [[jnp.zeros((LANE, LANE), dtype) for _ in range(3)]
+                   for _ in range(NT)]
             w6 = [jnp.zeros((), dtype) for _ in range(6)]
             for t in range(NT):
                 xi = px[t].reshape(1, LANE)
                 yi = py[t].reshape(1, LANE)
                 zi = pz[t].reshape(1, LANE)
-                fx_t = jnp.zeros((1, LANE), dtype)
-                fy_t = jnp.zeros((1, LANE), dtype)
-                fz_t = jnp.zeros((1, LANE), dtype)
-                for u in range(NT):
+                for u in range(t, NT):
                     xj, yj, zj = cols[u]
-                    w4e = w4e_ref[0, u * LANE:(u + 1) * LANE,
-                                  t * LANE:(t + 1) * LANE]
-                    sig2 = sig2_ref[0, u * LANE:(u + 1) * LANE,
-                                    t * LANE:(t + 1) * LANE]
-                    dx = xj - xi
-                    dy = yj - yi
-                    dz = zj - zi
-                    n3 = jnp.round(dz * inv_lz)
-                    dz = dz - n3 * lz
-                    dy = dy - n3 * yz
-                    n2 = jnp.round(dy * inv_ly)
-                    dy = dy - n2 * ly
-                    dx = dx - n3 * xz - n2 * xy
-                    n1 = jnp.round(dx * inv_lx)
-                    dx = dx - n1 * lx
+                    sl = (slice(u * LANE, (u + 1) * LANE),
+                          slice(t * LANE, (t + 1) * LANE))
+                    lj1 = w4e_ref[0][sl]
+                    lj2 = sig2_ref[0][sl]
+                    n1 = n1_s[sl]
+                    n2 = n2_s[sl]
+                    n3 = n3_s[sl]
+                    dx = xj - xi + n1 * lx + n2 * xy + n3 * xz
+                    dy = yj - yi + n2 * ly + n3 * yz
+                    dz = zj - zi + n3 * lz
                     r2 = dx * dx + dy * dy + dz * dz
-                    live = (r2 < spec.cutoff2) & (r2 > spec.r2min)
+                    # single-compare trim: no low-side live test — overlap
+                    # pairs are force-clamped at r2min (the XLA LJ path's
+                    # clamp semantics), self/excluded pairs have lj1 = 0
+                    live = r2 < spec.cutoff2
                     r2c = jnp.maximum(r2, spec.r2min)
-                    inv_r2 = 1.0 / r2c
-                    s2 = sig2 * inv_r2
-                    s6 = s2 * s2 * s2
-                    fpair = jnp.where(
-                        live, 6.0 * w4e * (2.0 * s6 * s6 - s6) * inv_r2, 0.0
-                    )
                     if spec.coul:
-                        qq = qq_ref[0, u * LANE:(u + 1) * LANE,
-                                    t * LANE:(t + 1) * LANE]
-                        livec = (r2 < spec.coul_cutoff2) & (r2 > spec.r2min)
                         inv_r = jax.lax.rsqrt(r2c)
+                        inv_r2 = inv_r * inv_r
+                    else:
+                        inv_r2 = 1.0 / r2c
+                    u2 = inv_r2 * inv_r2
+                    u3 = u2 * inv_r2
+                    fpair = jnp.where(live, (lj1 * u3 - lj2) * u2 * u2, 0.0)
+                    if spec.coul:
+                        qq = qq_ref[0][sl]
                         fpair = fpair + jnp.where(
-                            livec, qq * inv_r * inv_r2, 0.0)
+                            r2 < spec.coul_cutoff2, qq * inv_r * inv_r2, 0.0)
                     wx = fpair * dx
                     wy = fpair * dy
                     wz = fpair * dz
-                    fx_t = fx_t - jnp.sum(wx, axis=0, keepdims=True)
-                    fy_t = fy_t - jnp.sum(wy, axis=0, keepdims=True)
-                    fz_t = fz_t - jnp.sum(wz, axis=0, keepdims=True)
+                    acc[t][0] = acc[t][0] - wx
+                    acc[t][1] = acc[t][1] - wy
+                    acc[t][2] = acc[t][2] - wz
+                    if u > t:
+                        acc[u][0] = acc[u][0] + jnp.swapaxes(wx, 0, 1)
+                        acc[u][1] = acc[u][1] + jnp.swapaxes(wy, 0, 1)
+                        acc[u][2] = acc[u][2] + jnp.swapaxes(wz, 0, 1)
                     if sample:
-                        w6[0] += 0.5 * jnp.sum(wx * dx)
-                        w6[1] += 0.5 * jnp.sum(wy * dy)
-                        w6[2] += 0.5 * jnp.sum(wz * dz)
-                        w6[3] += 0.5 * jnp.sum(wx * dy)
-                        w6[4] += 0.5 * jnp.sum(wx * dz)
-                        w6[5] += 0.5 * jnp.sum(wy * dz)
-                fxs.append(fx_t.reshape(LANE))
-                fys.append(fy_t.reshape(LANE))
-                fzs.append(fz_t.reshape(LANE))
-            fx, fy, fz = jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs)
+                        # u > t blocks see each unordered pair once (full
+                        # weight); the diagonal block sees both orders
+                        wgt = 1.0 if u > t else 0.5
+                        w6[0] += wgt * jnp.sum(wx * dx)
+                        w6[1] += wgt * jnp.sum(wy * dy)
+                        w6[2] += wgt * jnp.sum(wz * dz)
+                        w6[3] += wgt * jnp.sum(wx * dy)
+                        w6[4] += wgt * jnp.sum(wx * dz)
+                        w6[5] += wgt * jnp.sum(wy * dz)
+            fx = jnp.stack([jnp.sum(acc[t][0], axis=0) for t in range(NT)])
+            fy = jnp.stack([jnp.sum(acc[t][1], axis=0) for t in range(NT)])
+            fz = jnp.stack([jnp.sum(acc[t][2], axis=0) for t in range(NT)])
             if spec.bonded:
                 rows = topo_ref[0]
                 bfx, bfy, bfz, bw6 = bonded_chain_forces(
@@ -1095,6 +1144,9 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
         vz = state_ref[0, 5]
         vxi0 = tuple(fscal_ref[0, _F_VXI + i] for i in range(NHC_LEN))
 
+        use_img_cache = spec.allpairs and not spec.sw
+        if use_img_cache:
+            refresh_images(px, py, pz, h_of(gstep0))
         fx0, fy0, fz0, _ = forces(px, py, pz, h_of(gstep0))
         pacc0 = tuple(jnp.zeros((), dtype) for _ in range(6))
 
@@ -1139,7 +1191,27 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             return (px, py, pz, vx, vy, vz, fx, fy, fz, vxi, pacc)
 
         carry = (px, py, pz, vx, vy, vz, fx0, fy0, fz0, vxi0, pacc0)
-        carry = jax.lax.fori_loop(0, n_run, step, carry)
+        if use_img_cache:
+            # chunked loop: refresh the min-image cache every R steps
+            # (both loops always run >= 1 trip — a zero-trip dynamic
+            # fori_loop hangs Mosaic on hardware)
+            R = spec.img_refresh
+            n_outer = (n_run + R - 1) // R
+
+            def outer(c, carry_o):
+                s0 = c * R
+                refresh_images(carry_o[0], carry_o[1], carry_o[2],
+                               h_of(gstep0 + s0))
+                trips = jnp.minimum(n_run - s0, R)
+
+                def inner(si, cc):
+                    return step(s0 + si, cc)
+
+                return jax.lax.fori_loop(0, trips, inner, carry_o)
+
+            carry = jax.lax.fori_loop(0, n_outer, outer, carry)
+        else:
+            carry = jax.lax.fori_loop(0, n_run, step, carry)
         (px, py, pz, vx, vy, vz, fx, fy, fz, vxi, pacc) = carry
 
         state_out[0, 0] = px
@@ -1224,12 +1296,17 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
             channels["imy"][None], channels["imz"][None],
         ]
         operand_specs = [nbr_spec] * 6
+    # min-image integer cache for the cached-Newton all-pairs path
+    scratch_shapes = []
+    if spec.allpairs and not spec.sw:
+        scratch_shapes = [pltpu.VMEM((npad, npad), dtype)] * 3
     out = pl.pallas_call(
         kern,
         # wide-K channel sets (OPLS ~232 slots) exceed Mosaic's default
         # 16M scoped-vmem budget; v5e has far more physical VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        scratch_shapes=scratch_shapes,
         out_shape=(
             jax.ShapeDtypeStruct((1, 8, NT, LANE), dtype),
             jax.ShapeDtypeStruct((1, _SACC), dtype),
@@ -1531,15 +1608,15 @@ class FusedRunner:
     lut_qq: object = None
     # all-pairs mode: dense (NPAD, NPAD) parameter matrices, built once at
     # setup (position-independent) — channels() then costs nothing
-    dense_w4e: object = None
-    dense_sig2: object = None
+    dense_lj1: object = None
+    dense_lj2: object = None
     dense_qq: object = None
 
     def channels(self, pos, h):
         if self.spec.sw:
             return {}  # parameter-free: everything closes over sw_params
         if self.spec.allpairs:
-            ch = {"w4e": self.dense_w4e, "sig2": self.dense_sig2}
+            ch = {"w4e": self.dense_lj1, "sig2": self.dense_lj2}
             if self.dense_qq is not None:
                 ch["qq"] = self.dense_qq
             if self.topo is not None:

@@ -19,9 +19,12 @@ Run:  python scripts/probe_allpairs.py [variants...]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -246,11 +249,23 @@ def make_slim_kernel(NT, variant, jobs=1):
                     r2 = dx * dx + dy * dy + dz * dz
                     live = r2 < CUTOFF2
                     r2c = jnp.maximum(r2, R2MIN)
-                    inv_r2 = 1.0 / r2c
-                    s2 = sig2 * inv_r2
-                    s6 = s2 * s2 * s2
-                    fpair = jnp.where(
-                        live, w4e * (2.0 * s6 * s6 - s6) * inv_r2, 0.0)
+                    if variant in ("v5p", "v7p", "v5r"):
+                        # lj1/lj2 5-op form (w4e carries lj1, sig2 lj2)
+                        if variant == "v5r":
+                            ir = jax.lax.rsqrt(r2c)
+                            inv_r2 = ir * ir
+                        else:
+                            inv_r2 = 1.0 / r2c
+                        u2 = inv_r2 * inv_r2
+                        u3 = u2 * inv_r2
+                        fpair = jnp.where(
+                            live, (w4e * u3 - sig2) * u2 * u2, 0.0)
+                    else:
+                        inv_r2 = 1.0 / r2c
+                        s2 = sig2 * inv_r2
+                        s6 = s2 * s2 * s2
+                        fpair = jnp.where(
+                            live, w4e * (2.0 * s6 * s6 - s6) * inv_r2, 0.0)
                     wx = fpair * dx
                     wy = fpair * dy
                     wz = fpair * dz
@@ -408,7 +423,7 @@ def make_slim_kernel(NT, variant, jobs=1):
         def forces(px, py, pz, h6):
             if variant == "v1":
                 return forces_v1(px, py, pz, h6)
-            if variant in ("v5", "v7"):
+            if variant in ("v5", "v7", "v7d4", "v5p", "v5r", "v7p"):
                 return forces_newton(px, py, pz, h6)
             if variant == "v8":
                 return forces_newton_mxu(px, py, pz, h6)
@@ -602,13 +617,19 @@ def main(variants):
         if v == "v0":
             time_v0()
             continue
-        w4e_v = w4e * (6.0 if v in ("v3", "v4", "v5", "v7", "v8") else 1.0)
-        jobs = 2 if v == "v7" else 1
+        w4e_v = w4e * (6.0 if v in ("v3", "v4", "v5", "v7", "v7d4", "v8")
+                       else 1.0)
+        sig2_v = sig2
+        if v in ("v5p", "v5r", "v7p"):
+            # lj1/lj2 coefficient matrices (w4e slot = lj1, sig2 slot = lj2)
+            w4e_v = 12.0 * w4e * sig2 ** 6
+            sig2_v = 6.0 * w4e * sig2 ** 3
+        jobs = {"v7": 2, "v7d4": 4, "v7p": 2}.get(v, 1)
         nprog = N_JOBS // jobs
         st2 = jnp.concatenate([state] * jobs, axis=1)
         batch = jnp.broadcast_to(st2, (nprog,) + st2.shape)
         w4e_b = jnp.broadcast_to(w4e_v, (nprog,) + w4e.shape)
-        sig2_b = jnp.broadcast_to(sig2, (nprog,) + sig2.shape)
+        sig2_b = jnp.broadcast_to(sig2_v, (nprog,) + sig2.shape)
         isb = jnp.broadcast_to(iscal, (nprog,) + iscal.shape)
         fsb = jnp.broadcast_to(fscal, (nprog,) + fscal.shape)
 
