@@ -12,7 +12,9 @@ Here both are optional per replica: a missing JSON falls back to identity
 orientation (the reference exits), and missing init files fall back to
 the on-device equilibrate+measure pipeline (which replaces the separate
 init_material executable).  The LAMMPS binary restart (init.<mat>_<n>.bin)
-has no reader — microstates always come from on-device equilibration.
+is read by md/lammps_restart.py — when present (and parseable) it seeds
+the replica's microstate exactly as the reference's ``read_restart``
+does (stmd_problem.h:185-207), skipping on-device equilibration.
 """
 from __future__ import annotations
 
@@ -37,6 +39,7 @@ class ReplicaMeta:
     length: Optional[np.ndarray] = None  # (3,)
     stress: Optional[np.ndarray] = None  # (6,) Voigt, Pa
     stiff: Optional[np.ndarray] = None  # (6, 6) Pa
+    micro: object = None  # lammps_restart.LammpsRestart (init.*.bin)
 
 
 def _rotation_from_json(pt: dict, cg_vector) -> np.ndarray:
@@ -87,6 +90,16 @@ def load_replica_metadata(
 
                 c4 = io.read_sym4(base + ".stiff")
                 meta.stiff = np.asarray(T.rank4_to_c66(jnp.asarray(c4)))
+            if os.path.exists(base + ".bin"):
+                from ..md import lammps_restart as LRS
+
+                try:
+                    meta.micro = LRS.read_restart(base + ".bin")
+                except ValueError as e:
+                    import warnings
+
+                    warnings.warn(f"skipping unreadable LAMMPS restart "
+                                  f"{base}.bin: {e}")
             rows.append(meta)
         out.append(rows)
     return out

@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import HMMConfig
 from ..bridging import bridge
@@ -370,6 +371,7 @@ def build_md_hmm(
     materials = list(cfg.material.materials)
 
     ff = cfg.md.force_field  # sisw quirk resolved at config load
+    specs_auto = specs is None and spec is None
     if specs is None:
         if spec is not None:
             specs = [
@@ -416,6 +418,23 @@ def build_md_hmm(
         cg_vector=cfg.material.common_ground_vector,
     )
 
+    # reference LAMMPS binary restarts (init.<mat>_<n>.bin,
+    # stmd_problem.h:185-207 read_restart): when present, the material's
+    # box geometry comes from the restart file itself — adapt the SW
+    # lattice cell counts so the built system matches it atom-for-atom
+    if spec is None and specs_auto:
+        for mi, mspec in enumerate(specs):
+            micro = meta[mi][0].micro
+            if micro is None or mspec.force_field != "sw":
+                continue
+            L = micro.boxhi - micro.boxlo
+            cells = tuple(int(round(l / mspec.a0)) for l in L)
+            if min(cells) >= 1 and 8 * cells[0] * cells[1] * cells[2] \
+                    == micro.natoms:
+                specs[mi] = M.MaterialSpec(
+                    **{**mspec.__dict__, "n_cells_xyz": cells,
+                       "a0": float(np.mean(L / np.asarray(cells)))})
+
     # material initialization (init_material equivalent): each material x
     # replica equilibrated with its own thermal seed and measured
     # independently (init_material_sync/problem.h per-replica data)
@@ -440,9 +459,19 @@ def build_md_hmm(
         measure_fn = M.make_measure_fn(sys, params)
         for r in range(n_repl):
             key = jax.random.PRNGKey(cfg.seed + 101 * mi + r)
-            st_r = prep_fn(key)
-            rep_states.append(st_r)
             mr = meta[mi][r]
+            if mr.micro is not None and mr.micro.natoms == sys.n_atoms:
+                # seed from the reference's own equilibrated binary
+                # restart instead of re-equilibrating on device
+                # (read_restart semantics, stmd_problem.h:185-207)
+                st_r = E.init_state(
+                    jnp.asarray(mr.micro.pos - mr.micro.boxlo,
+                                dtype=md_dtype),
+                    jnp.asarray(mr.micro.h, dtype=md_dtype),
+                    vel=jnp.asarray(mr.micro.vel, dtype=md_dtype))
+            else:
+                st_r = prep_fn(key)
+            rep_states.append(st_r)
             if mr.length is not None and mr.stress is not None \
                     and mr.stiff is not None:
                 # reference-format init.* files take precedence (the

@@ -250,7 +250,8 @@ def run_strain(
     With sys.fused set, the whole chunk loop runs in the fused Pallas
     kernel (ops/md_fused.py) — same semantics, VMEM-resident state.
     """
-    if sys.fused is not None and sys.constraints is None:
+    if sys.fused is not None and (sys.constraints is None
+                                  or sys.fused.spec.shake_offsets):
         from ..ops import md_fused as MFU
 
         return MFU.run_strain_fused(sys.fused, state, eps_eff, n_steps, T, dt)
@@ -348,7 +349,8 @@ def sample_stress(
     converts to Pa as ``-p * 1.01325e5`` (stmd_problem.h:335-341) — the
     conversion is left to the caller (homogenization.py).
     """
-    if sys.fused is not None and sys.constraints is None:
+    if sys.fused is not None and (sys.constraints is None
+                                  or sys.fused.spec.shake_offsets):
         from ..ops import md_fused as MFU
 
         return MFU.sample_stress_fused(sys.fused, state, n_steps, T, dt)

@@ -39,6 +39,10 @@ class MaterialSpec:
     name: str
     force_field: str = "sw"  # sw | lj | opls
     n_cells: int = 3  # lattice cells per dimension
+    # non-cubic cell counts (overrides n_cells); used when seeding the
+    # box geometry from a reference LAMMPS binary restart whose lattice
+    # is not cubic (init.sic_1.bin is 2x3x4 cells)
+    n_cells_xyz: tuple | None = None
     a0: float = 5.431  # lattice parameter (A)
     mass: float = 28.0855  # g/mol
     sw: SWmod.SW = field(default_factory=lambda: SWmod.SI)
@@ -61,6 +65,18 @@ class MaterialSpec:
     opls_lj_cutoff: float = 10.0
     opls_coul_cutoff: float = 9.0  # real-space Coulomb cutoff (in.set.lammps)
     use_ewald: bool = False  # alkanes are uncharged; data files may enable
+    # all-atom PE melt (data_io.build_pe_melt_allatom): the reference's
+    # actual OPLS material class — charged, H-bearing (in.set.lammps:
+    # lj/cut/coul/long + pppm, in.strain.lammps: fix shake m 1.0)
+    allatom: bool = False
+    pe_density: float = 0.70
+    # SHAKE on bonds involving mass-1 atoms; None = auto (on for allatom)
+    shake: bool | None = None
+    # steps between kspace (PME) re-evaluations on the fused path — the
+    # rRESPA outer level (the frozen part is the SMOOTH remainder
+    # [Ewald total - plain cut], far slower-varying than LAMMPS respa's
+    # frozen recip term)
+    kspace_every: int = 10
     # sw extras: fused Pallas brick kernels (ops/sw_pallas.py) — the
     # big-box force path (wins beyond ~10k atoms)
     use_pallas_bricks: bool = False
@@ -118,12 +134,75 @@ def _validate_setup(spec: MaterialSpec, pos, h, nspec: NB.NeighborSpec) -> None:
         )
 
 
-def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
+def _build_kspace_split(ff, Wq, n: int, dtype):
+    """Smooth-remainder Coulomb force/virial for the fused kspace split.
+
+    The fused kernel computes the PLAIN cut coulomb sum (qq w / r,
+    r < rc).  The exact Ewald/PME total differs from it by the SMOOTH
+    remainder
+
+        e_smooth = recip(pos, h) - sum_{r<rc} wq qq erf(a r)/r
+                   - sum_excl (1 - wq) qq erf(a r)/r
+
+    (reference physics: kspace_style pppm, in.set.lammps; the identity
+    follows from erfc = 1 - erf applied to opls.OPLSFF.energy's real +
+    recip + corr decomposition, opls.py:107-141).  erf(a r)/r is analytic
+    and bounded, so the remainder force varies on the 1/a length scale —
+    far slower than any real-space force — making it the ideal frozen
+    rRESPA outer level.  Both sums run as dense (N, N) XLA expressions
+    (no neighbor list); force is -grad, virial the upper-triangular
+    strain derivative -dE/dF (exact for central+mesh forces).
+    """
+    from . import box as Bx
+
+    ew = ff.ewald
+    alpha = float(ew.alpha)
+    rc2 = float(ff.coul_cutoff) ** 2
+    q = np.asarray(ff.charges, dtype=np.float64)
+    qq = float(ew.qqr2e) * q[:, None] * q[None, :]
+    A = np.asarray(Wq)  # special-coul weights, zero diagonal
+    Bm = (1.0 - A)  # exclusion remainder weights
+    np.fill_diagonal(Bm, 0.0)
+    qqA = jnp.asarray(qq * A, dtype)
+    qqB = jnp.asarray(qq * Bm, dtype)
+    eye = np.eye(n, dtype=bool)
+
+    def e_smooth(pos, h):
+        dr = Bx.min_image_disp(h, pos[None, :, :] - pos[:, None, :])
+        r2 = jnp.sum(dr * dr, axis=-1)
+        r = jnp.sqrt(jnp.where(eye, 1.0, r2))
+        erf_r = jax.scipy.special.erf(alpha * r) / r
+        pair = jnp.where(r2 < rc2, qqA * erf_r, 0.0) + qqB * erf_r
+        return ew.reciprocal_energy(pos, h) - 0.5 * jnp.sum(
+            jnp.where(eye, 0.0, pair))
+
+    def kspace_fn(pos, h):
+        return -jax.grad(e_smooth)(pos, h)
+
+    def kspace_virial_fn(pos, h):
+        # W_ab = -dE/dF_ab with F the upper-triangular deformation
+        # applied to positions AND the cell (fractionals held fixed)
+        def e_of(f6):
+            M = jnp.eye(3, dtype=pos.dtype) + jnp.array(
+                [[f6[0], f6[3], f6[4]],
+                 [0.0, f6[1], f6[5]],
+                 [0.0, 0.0, f6[2]]], dtype=pos.dtype)
+            return e_smooth(pos @ M.T, M @ h)
+
+        return -jax.grad(e_of)(jnp.zeros(6, dtype=pos.dtype))
+
+    return kspace_fn, kspace_virial_fn
+
+
+def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
+                        cons=None):
     """FusedRunner for lj/opls force fields (ops/md_fused.py), or None.
 
     Auto policy: fused on TPU-class backends, XLA elsewhere (the Pallas
-    kernel only runs interpreted on CPU).  Ewald systems and non-chain
-    topologies fall back to the XLA path.
+    kernel only runs interpreted on CPU).  Ewald/kspace systems run the
+    all-pairs kernel with the rRESPA kspace split; constraints (SHAKE)
+    and all-atom (non-chain) topologies run in-kernel via roll offsets.
+    Combinations with no fused mechanism fall back to the XLA path.
     """
     use = spec.use_fused
     if use is None:
@@ -135,18 +214,26 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
     n = int(masses.shape[0])
     topo_ch = None
     bonded = False
+    patterns = ()
+    pat_rows = None
     coul = False
     qq_table = None
     weights_fn = None
     weights_coul_fn = None
+    has_kspace = False
     if hasattr(ff, "topo"):  # OPLS composite
-        if ff.ewald is not None:
-            return None  # reciprocal-space part has no fused path yet
+        has_kspace = ff.ewald is not None
         try:
             topo_ch = MFU.pack_topo(ff.topo, ff.bonded, n, dtype=dtype)
             bonded = True
         except ValueError:
-            return None  # non-chain topology: XLA fallback
+            # non-chain topology: the offset-pattern bonded path
+            # (all-atom [C H H H] layouts, data_io.build_pe_chain_allatom)
+            try:
+                patterns, pat_rows = MFU.pack_patterns(
+                    ff.topo, ff.bonded, n, dtype=dtype)
+            except ValueError:
+                return None  # irregular topology: XLA fallback
         eps_table, sig_table, types = ff.lj_epsilon, ff.lj_sigma, ff.types
         cutoff2 = float(ff.lj_cutoff) ** 2
         weights_fn = lambda nbr: ff._pair_weights(nbr, ff.special_lj)
@@ -165,18 +252,36 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
     else:
         return None  # SW and others: no fused path yet
 
+    # roll-based SHAKE: constraint partners must sit at small static
+    # offsets (guaranteed by the [C H H (H)] all-atom layout)
+    shake_offsets = ()
+    shk_rows = None
+    if cons is not None:
+        try:
+            shake_offsets, shk_rows = MFU.pack_shake(
+                np.asarray(cons.idx), np.asarray(cons.d0), n, dtype=dtype)
+        except ValueError:
+            return None  # offsets too wide: XLA SHAKE fallback
+
+    n_cons = len(shake_offsets) and int(np.count_nonzero(
+        np.asarray(shk_rows).reshape(len(shake_offsets), -1)))
     kspec = MFU.FusedSpec(
         n_atoms=n,
         nt=MFU.pad_n(n) // MFU.LANE,
         k=nspec.k_max,
         cutoff2=cutoff2,
-        ndof=3 * n - 3,
+        # fix shake subtracts each rigid bond from the thermostat DOF
+        # count (engine.MDSystem.ndof semantics)
+        ndof=3 * n - 3 - n_cons,
         boltz=REAL.boltz,
         ftm2v=REAL.ftm2v,
         nktv2p=REAL.nktv2p,
         coul=coul,
         coul_cutoff2=float(getattr(ff, "coul_cutoff", 0.0)) ** 2,
         bonded=bonded,
+        bonded_pattern=patterns,
+        shake_offsets=shake_offsets,
+        fext=has_kspace,
         interpret=jax.default_backend() == "cpu",
     )
     packed = _runner_pair_classes(
@@ -187,11 +292,21 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
     if packed is not None:
         pair_cls, lut_w4e, lut_sig2, lut_qq = packed
 
-    # all-pairs mode for small boxes (the HMM's per-qp regime): dense
-    # position-independent parameter matrices -> zero rebuilds, one kernel
-    # call per MD run.  VMEM budget: 3 x NPAD^2 floats (3 MB at 512 atoms).
+    # all-pairs mode: dense position-independent parameter matrices ->
+    # zero rebuilds, one kernel call per MD run.  The gate is the VMEM
+    # budget: lj1/lj2 + 3 min-image planes (+ qq) of (NPAD, NPAD) f32
+    # must fit the 100 MB scoped-vmem limit — ~2048 atoms neutral, ~1792
+    # charged.  That range covers both the HMM's per-qp boxes (~512) and
+    # the reference's charged all-atom OPLS boxes at the 12 A cutoff
+    # (>= ~1400 atoms), where the tile-pair kernel still beats the
+    # gather-bound list path by ~10x.
     dense_lj1 = dense_lj2 = dense_qq = None
-    allpairs = n <= 640  # _build_fused_runner is only reached when fused
+    npad = MFU.pad_n(n)
+    planes = 5 + (1 if qq_table is not None else 0)
+    allpairs = planes * npad * npad * 4 <= 88 * 1024 * 1024
+    if not allpairs and (has_kspace or patterns or shake_offsets):
+        return None  # kspace split / patterns / roll-SHAKE are
+        # all-pairs-only mechanisms; bigger boxes take the XLA path
     if allpairs:
         ti = np.asarray(types)[:, None]
         tj = np.asarray(types)[None, :]
@@ -218,6 +333,7 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         sig6 = sig_m ** 6
         dense_lj1 = dense(48.0 * eps_m * sig6 * sig6 * W)  # lj1
         dense_lj2 = dense(24.0 * eps_m * sig6 * W)        # lj2
+        Wq = None
         if qq_table is not None:
             # Coulomb uses ITS OWN special-bond weights (special_coul),
             # matching opls.py:106 — not the LJ weights
@@ -227,6 +343,11 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
             q = np.asarray(qq_table)
             dense_qq = dense(q[:, None] * q[None, :] * Wq)
         kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True})
+
+    kspace_fn = kspace_virial_fn = None
+    if has_kspace and allpairs:
+        kspace_fn, kspace_virial_fn = _build_kspace_split(
+            ff, Wq, n, dtype)
     return MFU.FusedRunner(
         spec=kspec,
         nspec=nspec,
@@ -246,6 +367,11 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype):
         dense_lj1=dense_lj1,
         dense_lj2=dense_lj2,
         dense_qq=dense_qq,
+        pat_rows=pat_rows,
+        shk_rows=shk_rows,
+        kspace_fn=kspace_fn,
+        kspace_virial_fn=kspace_virial_fn,
+        kspace_every=spec.kspace_every,
     )
 
 
@@ -340,7 +466,8 @@ def _runner_pair_classes(n, types, eps_table, sig_table, weights_fn,
 def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
     use_onehot = False
     if spec.force_field == "sw":
-        pos, h = lattice.diamond(spec.a0, spec.n_cells, spec.n_cells, spec.n_cells)
+        cxyz = spec.n_cells_xyz or (spec.n_cells,) * 3
+        pos, h = lattice.diamond(spec.a0, *cxyz)
         n = len(pos)
         ff = spec.sw
         cutoff = ff.cutoff
@@ -375,6 +502,9 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
 
         if spec.data_file:
             data = data_io.read_data(spec.data_file)
+        elif spec.allatom:
+            data = data_io.build_pe_melt_allatom(
+                spec.n_chains, spec.chain_length, density=spec.pe_density)
         else:
             data = data_io.build_alkane_melt(spec.n_chains, spec.chain_length)
         ff = data_io.to_opls(
@@ -384,6 +514,21 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         )
         n = len(data.pos)
         cutoff = ff.cutoff
+        # fix shake ... m 1.0 (in.strain.lammps): bonds involving mass-1
+        # atoms held rigid at the bond style's r0
+        cons = None
+        shake_on = spec.shake if spec.shake is not None else spec.allatom
+        if shake_on:
+            from . import constraints as CN
+
+            mt = data.masses[data.types]
+            b = np.asarray(data.bonds)
+            sel = (mt[b[:, 0]] < 1.5) | (mt[b[:, 1]] < 1.5)
+            if bool(sel.any()):
+                d0 = np.asarray(data.bond_coeffs)[
+                    np.asarray(data.bond_types)[sel], 1]
+                cons = CN.from_bonds(jnp.asarray(b[sel], jnp.int32),
+                                     jnp.asarray(d0, dtype))
         # size the list from density, not a constant: the default melt has
         # ~134 neighbors within the 10 A cutoff — a 96-wide list silently
         # drops in-cutoff pairs (wrong LJ/Coulomb stresses)
@@ -394,13 +539,15 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         if spec.validate:
             _validate_setup(spec, data.pos, data.box, nspec)
         masses = jnp.asarray(data.masses[data.types], dtype=dtype)
-        fused = _build_fused_runner(spec, ff, masses, nspec, dtype)
+        fused = _build_fused_runner(spec, ff, masses, nspec, dtype,
+                                    cons=cons)
         sys = E.MDSystem(
             ff=ff,
             masses=masses,
             nspec=nspec,
             units=REAL,
             rebuild_every=spec.rebuild_every,
+            constraints=cons,
             fused=fused,
         )
         st = E.init_state(jnp.asarray(data.pos, dtype=dtype),

@@ -114,6 +114,25 @@ class FusedSpec:
     # pairs: no dense matrices at all; occupancy from the invm state row.
     sw: bool = False
     sw_params: tuple = ()  # (eps, sigma, a, lam, gamma, costheta0, A, B)
+    # offset-pattern bonded terms (pack_patterns): the general-topology
+    # in-kernel bonded path for all-atom molecules whose partners sit at
+    # small static offsets ([C H H H] layout).  Mutually exclusive with
+    # ``bonded`` (the linear-chain fast path).
+    bonded_pattern: tuple = ()
+    # roll-based SHAKE/RATTLE (pack_shake): the reference's
+    # ``fix shake ... m 1.0`` (in.strain.lammps) — C-H bonds rigid.
+    # Non-empty offsets enable the constraint steps inside the kernel;
+    # d0^2 rows ride the ``shk`` channel.  spec.ndof must already carry
+    # the -n_constraints correction (engine.MDSystem.ndof semantics).
+    shake_offsets: tuple = ()
+    shake_iters: int = 20   # fix shake's default iteration bound
+    rattle_iters: int = 10
+    shake_relax: float = 0.8
+    # frozen external per-atom force channel (3, NT, 128): the kspace
+    # (PME) contribution held constant across a fused chunk — an rRESPA
+    # outer level (LAMMPS run_style respa's kspace slot) with the split
+    # total = [plain cut coulomb, in kernel] + [smooth remainder, frozen]
+    fext: bool = False
 
 
 # topo channel rows (chain-structured bonded terms; term k starts at atom k)
@@ -728,8 +747,8 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
         return gx, gy, gz
 
     def kernel(iscal_ref, fscal_ref, state_ref, idx_ref, w4e_ref, sig2_ref,
-               imx_ref, imy_ref, imz_ref, qq_ref, topo_ref,
-               state_out, sacc_ref, *scratch):
+               imx_ref, imy_ref, imz_ref, qq_ref, topo_ref, pat_ref,
+               shk_ref, fxt_ref, state_out, sacc_ref, *scratch):
         dtype = state_ref.dtype
         n_run = iscal_ref[0, _I_NRUN]
         gstep0 = iscal_ref[0, _I_GSTEP0]
@@ -1045,6 +1064,21 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 fx, fy, fz = fx + bfx, fy + bfy, fz + bfz
                 if sample:
                     w6 = [w6[i] + bw6[i] for i in range(6)]
+            if spec.bonded_pattern:
+                bfx, bfy, bfz, bw6 = bonded_pattern_forces(
+                    px, py, pz, pat_ref[0], spec.bonded_pattern, NT, sample,
+                    in_kernel=not spec.interpret,
+                    use_poly_acos=not spec.interpret,
+                )
+                fx, fy, fz = fx + bfx, fy + bfy, fz + bfz
+                if sample:
+                    w6 = [w6[i] + bw6[i] for i in range(6)]
+            if spec.fext:
+                # frozen kspace forces (rRESPA outer level); their virial
+                # is accumulated host-side per chunk, not here
+                fx = fx + fxt_ref[0, 0]
+                fy = fy + fxt_ref[0, 1]
+                fz = fz + fxt_ref[0, 2]
             return fx, fy, fz, w6
 
         def forces(px, py, pz, h6):
@@ -1102,6 +1136,21 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 fx, fy, fz = fx + bfx, fy + bfy, fz + bfz
                 if sample:
                     w6 = [w6[i] + bw6[i] for i in range(6)]
+            if spec.bonded_pattern:
+                bfx, bfy, bfz, bw6 = bonded_pattern_forces(
+                    px, py, pz, pat_ref[0], spec.bonded_pattern, NT, sample,
+                    in_kernel=not spec.interpret,
+                    use_poly_acos=not spec.interpret,
+                )
+                fx, fy, fz = fx + bfx, fy + bfy, fz + bfz
+                if sample:
+                    w6 = [w6[i] + bw6[i] for i in range(6)]
+            if spec.fext:
+                # frozen kspace forces (rRESPA outer level); their virial
+                # is accumulated host-side per chunk, not here
+                fx = fx + fxt_ref[0, 0]
+                fy = fy + fxt_ref[0, 1]
+                fz = fz + fxt_ref[0, 2]
             return fx, fy, fz, w6
 
         def nhc_half(vx, vy, vz, vxi):
@@ -1160,13 +1209,47 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             vx = vx + half * fx * invm
             vy = vy + half * fy * invm
             vz = vz + half * fz * invm
+            if spec.shake_offsets:
+                pox, poy, poz = px, py, pz
             px = px + dt * vx
             py = py + dt * vy
             pz = pz + dt * vz
+            if spec.shake_offsets:
+                # engine._verlet_step order: project the drifted positions,
+                # then fold the correction back into the velocities
+                # (constraint impulse); dt = 0 no-op jobs give a zero
+                # correction, so the guarded inverse keeps them exact
+                pcx, pcy, pcz = shake_rolls(
+                    (px, py, pz), (pox, poy, poz), invm,
+                    spec.shake_offsets, shk_ref[0], NT,
+                    in_kernel=not spec.interpret,
+                    n_iters=spec.shake_iters, relax=spec.shake_relax)
+                # dt = 0 no-op jobs: the projection must not move the
+                # state (incoming constraints are only approximately
+                # satisfied), so gate the correction on a live dt
+                live_dt = dt > 0.0
+                inv_dt = jnp.where(
+                    live_dt, 1.0 / jnp.where(live_dt, dt, 1.0), 0.0)
+                vx = vx + (pcx - px) * inv_dt
+                vy = vy + (pcy - py) * inv_dt
+                vz = vz + (pcz - pz) * inv_dt
+                px = jnp.where(live_dt, pcx, px)
+                py = jnp.where(live_dt, pcy, py)
+                pz = jnp.where(live_dt, pcz, pz)
             fx, fy, fz, w6 = forces(px, py, pz, h_now)
             vx = vx + half * fx * invm
             vy = vy + half * fy * invm
             vz = vz + half * fz * invm
+            if spec.shake_offsets:
+                rvx, rvy, rvz = rattle_rolls(
+                    (vx, vy, vz), (px, py, pz), invm,
+                    spec.shake_offsets, shk_ref[0], NT,
+                    in_kernel=not spec.interpret,
+                    n_iters=spec.rattle_iters, relax=spec.shake_relax)
+                live_dt = dt > 0.0
+                vx = jnp.where(live_dt, rvx, vx)
+                vy = jnp.where(live_dt, rvy, vy)
+                vz = jnp.where(live_dt, rvz, vz)
             if thermostat:
                 vx, vy, vz, vxi = nhc_half(vx, vy, vz, vxi)
             if sample:
@@ -1268,6 +1351,20 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
         topo_spec = pl.BlockSpec((1, _TOPO, NT, LANE), lambda: (0, 0, 0, 0))
         topo = topo[None]
 
+    def ch_or_placeholder(name):
+        arr = channels.get(name)
+        if arr is None:
+            ph = jnp.zeros((1, 1, 1), dtype)
+            return ph, pl.BlockSpec((1, 1, 1), lambda: (0, 0, 0),
+                                    memory_space=pl.ANY)
+        sp = pl.BlockSpec((1,) + arr.shape,
+                          lambda *_: (0,) * (arr.ndim + 1))
+        return arr[None], sp
+
+    pat, pat_spec = ch_or_placeholder("pat")  # pattern-bonded param rows
+    shk, shk_spec = ch_or_placeholder("shk")  # SHAKE d0^2 rows
+    fxt, fxt_spec = ch_or_placeholder("fext")  # frozen kspace forces
+
     if spec.allpairs:
         # dense (NPAD, NPAD) parameter matrices; idx/img slots are unread.
         # SW mode is parameter-free per pair — every channel slot is a
@@ -1318,6 +1415,9 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
             *operand_specs,
             qq_spec,
             topo_spec,
+            pat_spec,
+            shk_spec,
+            fxt_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, 8, NT, LANE), lambda: (0, 0, 0, 0)),
@@ -1327,7 +1427,7 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
     )(
         iscal[None], fscal[None], state[None],
         *operands,
-        qq, topo,
+        qq, topo, pat, shk, fxt,
     )
     st, sacc = out
     return st[0], sacc[0]
@@ -1357,6 +1457,15 @@ def pack_state(pos, vel, masses, ftm2v, vxi=None, dtype=None):
             ch(vel[:, 0]), ch(vel[:, 1]), ch(vel[:, 2]),
             ch(invm), ch(mftm)]
     return jnp.stack(rows)
+
+
+def pack_fext(F, n_atoms: int, dtype=None):
+    """(N, 3) external (kspace) forces -> (3, NT, 128) channel."""
+    dtype = dtype or F.dtype
+    npad = pad_n(n_atoms)
+    nt = npad // LANE
+    Fp = jnp.pad(F.astype(dtype), ((0, npad - n_atoms), (0, 0)))
+    return jnp.moveaxis(Fp.reshape(nt, LANE, 3), 2, 0)
 
 
 def unpack_state(state, n):
@@ -1611,6 +1720,18 @@ class FusedRunner:
     dense_lj1: object = None
     dense_lj2: object = None
     dense_qq: object = None
+    # offset-pattern bonded parameter rows (pack_patterns) — all-atom
+    # topologies; the static pattern tuple lives in spec.bonded_pattern
+    pat_rows: object = None
+    # SHAKE d0^2 rows (pack_shake); offsets live in spec.shake_offsets
+    shk_rows: object = None
+    # kspace (PME) split: fn(pos, h) -> (N, 3) smooth remainder force
+    # [exact Ewald total minus the kernel's plain-cut coulomb], frozen
+    # for ``kspace_every`` steps (rRESPA outer level); the companion
+    # virial fn(pos, h) -> Voigt-6 feeds the sampling accumulator
+    kspace_fn: object = None
+    kspace_virial_fn: object = None
+    kspace_every: int = 10
 
     def channels(self, pos, h):
         if self.spec.sw:
@@ -1621,6 +1742,10 @@ class FusedRunner:
                 ch["qq"] = self.dense_qq
             if self.topo is not None:
                 ch["topo"] = self.topo.astype(pos.dtype)
+            if self.pat_rows is not None:
+                ch["pat"] = self.pat_rows.astype(pos.dtype)
+            if self.shk_rows is not None:
+                ch["shk"] = self.shk_rows.astype(pos.dtype)
             return ch
         if self.pair_cls is not None:
             return self._channels_packed(pos, h)
@@ -1708,16 +1833,43 @@ def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
         ch = runner.channels(state.pos, state.h)
         st8 = pack_state(state.pos, state.vel, runner.masses, spec.ftm2v,
                          dtype=dtype)
-        fscal = make_fscal(dt_eff, T, state.h, eps=eps_k,
-                           vxi=state.vxi, dtype=dtype)
-        iscal = make_iscal(jnp.maximum(n_steps, 1), 0,
-                           jnp.maximum(n_steps, 1))
-        st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
-                                deform=True, sample=False)
+        ns = jnp.maximum(n_steps, 1)
+        if runner.kspace_fn is None:
+            fscal = make_fscal(dt_eff, T, state.h, eps=eps_k,
+                               vxi=state.vxi, dtype=dtype)
+            iscal = make_iscal(ns, 0, ns)
+            st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
+                                    deform=True, sample=False)
+            vxi_end = sacc_vxi(sacc)
+        else:
+            # kspace split: freeze the smooth remainder force for Rk
+            # steps at a time (rRESPA outer level) and re-evaluate the
+            # PME mesh in XLA between fused chunks
+            Rk = runner.kspace_every
+            n_ch = (ns + Rk - 1) // Rk
+            h0 = state.h
+
+            def chunk(c, carry):
+                st8c, vxi = carry
+                g0 = c * Rk
+                frac = g0.astype(dtype) / ns.astype(dtype)
+                h_c = B.deform_path(h0, eps_k, frac)
+                pos_c, _ = unpack_state(st8c, spec.n_atoms)
+                fk = runner.kspace_fn(pos_c, h_c)
+                ch_c = {**ch, "fext": pack_fext(fk, spec.n_atoms, dtype)}
+                fscal_c = make_fscal(dt_eff, T, h0, eps=eps_k, vxi=vxi,
+                                     dtype=dtype)
+                iscal_c = make_iscal(jnp.minimum(ns - g0, Rk), g0, ns)
+                st8c, sacc = fused_chunk(spec, st8c, ch_c, iscal_c,
+                                         fscal_c, deform=True, sample=False)
+                return st8c, sacc_vxi(sacc)
+
+            st8, vxi_end = jax.lax.fori_loop(
+                0, n_ch, chunk, (st8, jnp.asarray(state.vxi, dtype)))
         pos, vel = unpack_state(st8, spec.n_atoms)
         frac_end = jnp.where(live, 1.0, 0.0).astype(dtype)
         h_end = B.deform_path(state.h, jnp.asarray(eps_eff, dtype), frac_end)
-        return E.MDState(pos=pos, vel=vel, h=h_end, vxi=sacc_vxi(sacc))
+        return E.MDState(pos=pos, vel=vel, h=h_end, vxi=vxi_end)
     R = _chunk_steps(runner.rebuild_every)
     n_steps = jnp.maximum(jnp.asarray(n_steps), R)
     n_chunks = n_steps // R
@@ -1761,14 +1913,48 @@ def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
         # loops hang Mosaic on hardware — see run_strain_fused)
         n_arr = jnp.asarray(n_steps)
         dt_eff = jnp.where(n_arr > 0, dt, 0.0)
-        fscal = make_fscal(dt_eff, T, state.h, vxi=state.vxi, dtype=dtype)
-        iscal = make_iscal(jnp.maximum(n_arr, 1), 0, 1)
-        st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
-                                deform=False, sample=True)
+        ns = jnp.maximum(n_arr, 1)
+        if runner.kspace_fn is None:
+            fscal = make_fscal(dt_eff, T, state.h, vxi=state.vxi,
+                               dtype=dtype)
+            iscal = make_iscal(ns, 0, 1)
+            st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
+                                    deform=False, sample=True)
+            pos, vel = unpack_state(st8, spec.n_atoms)
+            press = sacc_press(sacc) / ns
+            return E.MDState(pos=pos, vel=vel, h=state.h,
+                             vxi=sacc_vxi(sacc)), press
+        # kspace split (see run_strain_fused): frozen smooth forces per
+        # chunk; their virial joins the pressure accumulator host-side
+        Rk = runner.kspace_every
+        n_ch = (ns + Rk - 1) // Rk
+        hmat = jnp.asarray(state.h, dtype)
+        # upper-triangular cell: volume is the diagonal product (the same
+        # form the kernel's sampling loop uses)
+        vol = hmat[0, 0] * hmat[1, 1] * hmat[2, 2]
+        conv = spec.nktv2p / vol
+
+        def chunk(c, carry):
+            st8c, vxi, pacc = carry
+            g0 = c * Rk
+            pos_c, _ = unpack_state(st8c, spec.n_atoms)
+            fk = runner.kspace_fn(pos_c, state.h)
+            ch_c = {**ch, "fext": pack_fext(fk, spec.n_atoms, dtype)}
+            trips = jnp.minimum(ns - g0, Rk).astype(dtype)
+            wk = runner.kspace_virial_fn(pos_c, state.h).astype(dtype)
+            fscal_c = make_fscal(dt_eff, T, state.h, vxi=vxi, dtype=dtype)
+            iscal_c = make_iscal(jnp.minimum(ns - g0, Rk), g0, 1)
+            st8c, sacc = fused_chunk(spec, st8c, ch_c, iscal_c, fscal_c,
+                                     deform=False, sample=True)
+            pacc = pacc + sacc_press(sacc) + trips * wk * conv
+            return st8c, sacc_vxi(sacc), pacc
+
+        st8, vxi_end, pacc = jax.lax.fori_loop(
+            0, n_ch, chunk,
+            (st8, jnp.asarray(state.vxi, dtype), jnp.zeros((6,), dtype)))
         pos, vel = unpack_state(st8, spec.n_atoms)
-        press = sacc_press(sacc) / jnp.maximum(n_arr, 1)
-        return E.MDState(pos=pos, vel=vel, h=state.h,
-                         vxi=sacc_vxi(sacc)), press
+        press = pacc / ns
+        return E.MDState(pos=pos, vel=vel, h=state.h, vxi=vxi_end), press
     R = _chunk_steps(runner.rebuild_every)
     n_chunks = max(1, n_steps // R)
     dtype = state.pos.dtype

@@ -281,6 +281,75 @@ def make_slim_kernel(NT, variant, jobs=1):
             fzs = [jnp.sum(acc[t][2], axis=0) for t in range(NT * jobs)]
             return jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs)
 
+        def forces_newton_enddot(px, py, pz, h6):
+            """v5m: like v5 but the reaction side of block (t,u), u>t is
+            accumulated UNtransposed (plain VPU add into a per-tile
+            column-sense accumulator) and reduced over lanes ONCE per
+            tile at the end via an MXU matvec; only the final (128,1)
+            columns get transposed (cheap)."""
+            lx, ly, lz, xy, xz, yz = h6
+            n1_s, n2_s, n3_s = scratch
+            ones_col = jnp.ones((LANE, 1), dtype)
+            cols = [
+                (jnp.swapaxes(px[u].reshape(1, LANE), 0, 1),
+                 jnp.swapaxes(py[u].reshape(1, LANE), 0, 1),
+                 jnp.swapaxes(pz[u].reshape(1, LANE), 0, 1))
+                for u in range(NT)
+            ]
+            acc = [[jnp.zeros((LANE, LANE), dtype) for _ in range(3)]
+                   for _ in range(NT)]
+            accT = [[jnp.zeros((LANE, LANE), dtype) for _ in range(3)]
+                    for _ in range(NT)]
+            used = [False] * NT
+            for t in range(NT):
+                xi = px[t].reshape(1, LANE)
+                yi = py[t].reshape(1, LANE)
+                zi = pz[t].reshape(1, LANE)
+                for u in range(t, NT):
+                    xj, yj, zj = cols[u]
+                    sl = (slice(u * LANE, (u + 1) * LANE),
+                          slice(t * LANE, (t + 1) * LANE))
+                    w4e = w4e_ref[0][sl]
+                    sig2 = sig2_ref[0][sl]
+                    n1 = n1_s[sl]
+                    n2 = n2_s[sl]
+                    n3 = n3_s[sl]
+                    dx = xj - xi + n1 * lx + n2 * xy + n3 * xz
+                    dy = yj - yi + n2 * ly + n3 * yz
+                    dz = zj - zi + n3 * lz
+                    r2 = dx * dx + dy * dy + dz * dz
+                    live = r2 < CUTOFF2
+                    r2c = jnp.maximum(r2, R2MIN)
+                    inv_r2 = 1.0 / r2c
+                    u2 = inv_r2 * inv_r2
+                    u3 = u2 * inv_r2
+                    fpair = jnp.where(
+                        live, (w4e * u3 - sig2) * u2 * u2, 0.0)
+                    wx = fpair * dx
+                    wy = fpair * dy
+                    wz = fpair * dz
+                    acc[t][0] = acc[t][0] - wx
+                    acc[t][1] = acc[t][1] - wy
+                    acc[t][2] = acc[t][2] - wz
+                    if u > t:
+                        accT[u][0] = accT[u][0] + wx
+                        accT[u][1] = accT[u][1] + wy
+                        accT[u][2] = accT[u][2] + wz
+                        used[u] = True
+            fs = []
+            for d in range(3):
+                rows_ = []
+                for t in range(NT):
+                    f = jnp.sum(acc[t][d], axis=0)
+                    if used[t]:
+                        col = jax.lax.dot_general(
+                            accT[t][d], ones_col, (((1,), (0,)), ((), ())),
+                            preferred_element_type=dtype)
+                        f = f + jnp.swapaxes(col, 0, 1).reshape(LANE)
+                    rows_.append(f)
+                fs.append(jnp.stack(rows_))
+            return fs[0], fs[1], fs[2]
+
         def forces_newton_mxu(px, py, pz, h6):
             """v8: like v5 but the reaction sum of block (t,u) u>t runs as
             an MXU matvec (wx @ ones -> column) instead of an XLU
@@ -423,6 +492,8 @@ def make_slim_kernel(NT, variant, jobs=1):
         def forces(px, py, pz, h6):
             if variant == "v1":
                 return forces_v1(px, py, pz, h6)
+            if variant == "v5m":
+                return forces_newton_enddot(px, py, pz, h6)
             if variant in ("v5", "v7", "v7d4", "v5p", "v5r", "v7p"):
                 return forces_newton(px, py, pz, h6)
             if variant == "v8":
@@ -620,7 +691,7 @@ def main(variants):
         w4e_v = w4e * (6.0 if v in ("v3", "v4", "v5", "v7", "v7d4", "v8")
                        else 1.0)
         sig2_v = sig2
-        if v in ("v5p", "v5r", "v7p"):
+        if v in ("v5p", "v5r", "v7p", "v5m"):
             # lj1/lj2 coefficient matrices (w4e slot = lj1, sig2 slot = lj2)
             w4e_v = 12.0 * w4e * sig2 ** 6
             sig2_v = 6.0 * w4e * sig2 ** 3

@@ -1,0 +1,135 @@
+"""The reference's REAL OPLS physics through the fused production path:
+charged all-atom PE (lj/cut/coul/long + SHAKE on H + kspace), vs the XLA
+engine path.  Reference scripts: lammps_scripts_opls/in.set.lammps
+(pair_style lj/cut/coul/long, kspace_style pppm), in.strain.lammps
+(fix shake ... m 1.0)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scema_tpu.md import engine as E
+from scema_tpu.md import material as M
+from scema_tpu.md import neighbor as NB
+from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+COMMON = dict(
+    name="pe", force_field="opls", allatom=True, n_chains=4,
+    chain_length=4, pe_density=0.33, opls_lj_cutoff=5.0,
+    opls_coul_cutoff=4.5, validate=False, rebuild_every=10,
+)
+
+
+def test_allatom_fused_runner_built():
+    sys_f, _ = M.build_system(M.MaterialSpec(**COMMON, use_fused=True))
+    r = sys_f.fused
+    assert r is not None, "all-atom melt must reach the fused path"
+    assert r.spec.allpairs
+    assert r.spec.bonded_pattern and not r.spec.bonded
+    assert r.spec.shake_offsets == (1, 2, 3)
+    assert sys_f.constraints is not None
+    # ndof carries the -n_constraints correction (fix shake semantics)
+    assert r.spec.ndof == sys_f.ndof
+
+
+def test_kspace_split_identity():
+    """kspace_fn is EXACTLY [Ewald total - plain cut] coulomb forces:
+    -grad(ff.energy) + grad(ff_cut.energy) == kspace_fn (the LJ + bonded
+    parts cancel bitwise)."""
+    spec = M.MaterialSpec(**COMMON, use_fused=True, use_ewald=True)
+    sys_f, st = M.build_system(spec)
+    r = sys_f.fused
+    assert r.kspace_fn is not None and r.spec.fext
+    ff = sys_f.ff
+    ff_cut = dataclasses.replace(ff, ewald=None)
+    rng = np.random.default_rng(2)
+    pos = st.pos + jnp.asarray(0.05 * rng.normal(size=st.pos.shape))
+    nbr = NB.build(sys_f.nspec, pos, st.h)
+
+    F_diff = -jax.grad(lambda p: ff.energy(p, st.h, nbr)
+                       - ff_cut.energy(p, st.h, nbr))(pos)
+    F_k = r.kspace_fn(pos, st.h)
+    scale = float(jnp.abs(F_diff).max()) + 1e-30
+    assert float(jnp.abs(F_k - F_diff).max()) < 1e-9 * scale
+
+
+def test_allatom_shake_patterns_fused_matches_xla():
+    """coul/cut all-atom PE: fused (roll-SHAKE + offset-pattern bonded +
+    dense coulomb) == XLA (segment-sum SHAKE + gather bonded + list
+    coulomb) trajectory and stress."""
+    sys_x, st_x = M.build_system(M.MaterialSpec(**COMMON, use_fused=False))
+    sys_f, st_f = M.build_system(M.MaterialSpec(**COMMON, use_fused=True))
+    assert sys_x.fused is None and sys_f.fused is not None
+    assert sys_x.constraints is not None
+
+    # relax the built melt (compacted backbones carry large initial
+    # bonded strain) or both paths blow up
+    st_x = E.minimize_fire(sys_x, st_x, n_steps=200, dt0=0.25)
+    vel = E.maxwell_velocities(sys_x, jax.random.PRNGKey(9), 50.0)
+    st_x = st_x._replace(vel=vel)
+    st_f = st_x
+    params = MDParams(temperature=50.0, dt=0.5, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, -0.01, 0.02, 0.0, 0.004, 0.0])
+
+    out_x, sig_x = strain_and_homogenize(sys_x, st_x, dl, params)
+    out_f, sig_f = strain_and_homogenize(sys_f, st_f, dl, params)
+    assert np.allclose(np.asarray(out_f.pos), np.asarray(out_x.pos),
+                       atol=1e-6)
+    assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-5,
+                       atol=1e3)
+    # constraints actually held at the end of the fused run
+    cons = sys_x.constraints
+    i, j = np.asarray(cons.idx[:, 0]), np.asarray(cons.idx[:, 1])
+    d = np.asarray(out_f.pos)[j] - np.asarray(out_f.pos)[i]
+    r = np.linalg.norm(d, axis=1)
+    assert float(np.abs(r - np.asarray(cons.d0)).max()) < 5e-3
+
+
+def test_allatom_kspace_fused_close_to_xla():
+    """Full reference physics (kspace on): the fused rRESPA-split path
+    tracks the XLA exact-Ewald path.  kspace_every=1 still lags the
+    smooth force by one step, so this is a closeness bound, not parity;
+    the smooth remainder is tiny at these scales."""
+    c = dict(COMMON, use_ewald=True)
+    sys_x, st_x = M.build_system(M.MaterialSpec(**c, use_fused=False))
+    sys_f, st_f = M.build_system(
+        M.MaterialSpec(**c, use_fused=True, kspace_every=1))
+    st_x = E.minimize_fire(sys_x, st_x, n_steps=200, dt0=0.25)
+    vel = E.maxwell_velocities(sys_x, jax.random.PRNGKey(3), 50.0)
+    st_x = st_x._replace(vel=vel)
+    st_f = st_x
+    params = MDParams(temperature=50.0, dt=0.5, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, 0.0, -0.01, 0.0, 0.0, 0.002])
+
+    out_x, sig_x = strain_and_homogenize(sys_x, st_x, dl, params)
+    out_f, sig_f = strain_and_homogenize(sys_f, st_f, dl, params)
+    assert np.allclose(np.asarray(out_f.pos), np.asarray(out_x.pos),
+                       atol=5e-4)
+    assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=0.02,
+                       atol=5e4)
+
+    # coarser freezing stays consistent with per-step re-evaluation
+    sys_f5, _ = M.build_system(
+        M.MaterialSpec(**c, use_fused=True, kspace_every=5))
+    out_5, sig_5 = strain_and_homogenize(sys_f5, st_f, dl, params)
+    assert np.allclose(np.asarray(sig_5), np.asarray(sig_f), rtol=0.02,
+                       atol=5e4)
+
+
+def test_allatom_inactive_job_noop():
+    """dt = 0 padding jobs stay bit-exact no-ops with SHAKE in-kernel
+    (the projection is gated on a live dt)."""
+    sys_f, st = M.build_system(M.MaterialSpec(**COMMON, use_fused=True))
+    st = st._replace(vel=E.maxwell_velocities(sys_f, jax.random.PRNGKey(4),
+                                              80.0))
+    params = MDParams(temperature=80.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.02, 0.0, -0.01, 0.0, 0.0, 0.0])
+    o_i, _ = strain_and_homogenize(sys_f, st, dl, params,
+                                   active=jnp.asarray(False))
+    assert np.array_equal(np.asarray(o_i.pos), np.asarray(st.pos))
+    assert np.array_equal(np.asarray(o_i.vel), np.asarray(st.vel))
