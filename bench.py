@@ -78,6 +78,68 @@ def bench_md_throughput_fused():
     return n_jobs * sys_.n_atoms * n_steps / dt_s
 
 
+def _bench_throughput(spec, n_jobs, n_steps, dt=2.0, T=300.0,
+                      equil=(30, 20)):
+    """atom-steps/s of a job batch through the production path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scema_tpu.md import material as M
+    from scema_tpu.md import engine as E
+    from scema_tpu.md.homogenization import MDParams
+
+    sys_, st0 = M.build_system(spec, dtype=jnp.float32)
+    params = MDParams(temperature=T, dt=dt, strain_rate=1e-4,
+                      nsteps_sample=100)
+    st0 = M.equilibrate(sys_, st0, params, jax.random.PRNGKey(0),
+                        minimize_steps=equil[0], equil_steps=equil[1])
+    eps = jnp.zeros((n_jobs, 6), jnp.float32).at[:, 2].set(
+        jnp.linspace(1e-4, 5e-4, n_jobs))
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_jobs,) + x.shape), st0)
+
+    @jax.jit
+    def run(b, e):
+        return jax.vmap(
+            lambda s, ee: E.run_strain(sys_, s, ee, jnp.asarray(n_steps),
+                                       T, dt))(b, e)
+
+    out = run(batch, eps)
+    float(np.asarray(out.pos[0, 0, 0]))
+    best = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run(batch, eps)
+        float(np.asarray(out.pos[0, 0, 0]))
+        best = min(best, time.perf_counter() - t0)
+    return n_jobs * sys_.n_atoms * n_steps / best
+
+
+def bench_md_bigbox():
+    """The >640-atom regime the round-2 list kernel served at 4.8e6
+    atom-steps/s: a 1728-atom melt through the VMEM-gated all-pairs
+    kernel (the reference has no size cliff here; neither do we now)."""
+    from scema_tpu.md import material as M
+
+    spec = M.MaterialSpec(name="melt1728", force_field="opls",
+                          n_chains=216, chain_length=8)
+    return _bench_throughput(spec, n_jobs=64, n_steps=200)
+
+
+def bench_md_allatom():
+    """The reference's REAL OPLS physics: charged all-atom PE with SHAKE
+    on H and the kspace (PME) split — lj/cut/coul/long 12.0 9.0 +
+    kspace_style pppm + fix shake m 1.0 (in.set.lammps,
+    in.strain.lammps) — through the fused production path."""
+    from scema_tpu.md import material as M
+
+    spec = M.MaterialSpec(name="peaa", force_field="opls", allatom=True,
+                          n_chains=56, chain_length=10, pe_density=0.68,
+                          opls_lj_cutoff=12.0, opls_coul_cutoff=9.0,
+                          use_ewald=True, kspace_every=10)
+    return _bench_throughput(spec, n_jobs=32, n_steps=100, dt=1.0)
+
+
 def bench_sisw_example():
     """The reference's own shipped workload (streched_polyhedron: SiSW,
     1x1x2 cells, 16 qps): its README documents ~4 min for 2 macro-steps
@@ -152,6 +214,24 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] MD throughput failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    try:
+        big = bench_md_bigbox()
+        print(f"[bench] 1728-atom melt: {big:.3e} atom-steps/s "
+              f"(round-2 list kernel: 4.8e6)", file=sys.stderr)
+        result.update(md_bigbox1728_atom_steps_per_sec=round(big, 0))
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] big-box failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    try:
+        aa = bench_md_allatom()
+        print(f"[bench] charged all-atom PE (SHAKE+PME split): "
+              f"{aa:.3e} atom-steps/s", file=sys.stderr)
+        result.update(md_allatom_shake_pme_atom_steps_per_sec=round(aa, 0))
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] all-atom failed ({type(e).__name__}: {e})",
               file=sys.stderr)
 
     try:

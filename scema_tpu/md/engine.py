@@ -53,6 +53,8 @@ class MDSystem:
     onehot: object = None  # neighbor_onehot.OneHotSpec — MXU one-hot gather
     constraints: object = None  # constraints.Constraints — SHAKE/RATTLE
     fused: object = None  # md_fused.FusedRunner — fused Pallas chunk path
+    spatial: object = None  # spatial_md.SpatialRunner — P4 slab-sharded
+    # force evaluations inside the run_strain/sample_stress loops
 
     @property
     def n_atoms(self) -> int:
@@ -201,12 +203,14 @@ def _nhc_half(sys: MDSystem, vel, vxi, T: float, dt: float):
     return vel, vxi_ref
 
 
-def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt, thermostat=True):
+def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt,
+                 thermostat=True, forces_fn=None):
     """One velocity-Verlet step (optionally NVT); returns (state, F_new).
 
     With sys.constraints set, SHAKE corrects positions after the drift and
     RATTLE removes along-bond velocity components after the second kick
-    (the reference's fix shake, in.strain.lammps).
+    (the reference's fix shake, in.strain.lammps).  ``forces_fn(pos, h)``
+    overrides the force evaluation (the P4 sharded path plugs in here).
     """
     u = sys.units
     minv = (u.ftm2v / sys.masses)[:, None]
@@ -222,7 +226,10 @@ def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt, thermostat=True):
         pos_c = CN.shake_positions(sys.constraints, state.pos, pos, state.h, inv_m)
         vel = vel + (pos_c - pos) / dt  # constraint impulse on velocities
         pos = pos_c
-    F_new = forces(sys, pos, state.h, nbr)
+    if forces_fn is None:
+        F_new = forces(sys, pos, state.h, nbr)
+    else:
+        F_new = forces_fn(pos, state.h)
     vel = vel + 0.5 * dt * F_new * minv
     if sys.constraints is not None:
         vel = CN.rattle_velocities(sys.constraints, pos, vel, state.h, 1.0 / sys.masses)
@@ -250,6 +257,11 @@ def run_strain(
     With sys.fused set, the whole chunk loop runs in the fused Pallas
     kernel (ops/md_fused.py) — same semantics, VMEM-resident state.
     """
+    if sys.spatial is not None:
+        from ..parallel import spatial_md as SP
+
+        return SP.run_strain_sharded(sys, sys.spatial, state, eps_eff,
+                                     n_steps, T, dt)
     if sys.fused is not None and (sys.constraints is None
                                   or sys.fused.spec.shake_offsets):
         from ..ops import md_fused as MFU
@@ -349,6 +361,11 @@ def sample_stress(
     converts to Pa as ``-p * 1.01325e5`` (stmd_problem.h:335-341) — the
     conversion is left to the caller (homogenization.py).
     """
+    if sys.spatial is not None:
+        from ..parallel import spatial_md as SP
+
+        return SP.sample_stress_sharded(sys, sys.spatial, state, n_steps,
+                                        T, dt)
     if sys.fused is not None and (sys.constraints is None
                                   or sys.fused.spec.shake_offsets):
         from ..ops import md_fused as MFU

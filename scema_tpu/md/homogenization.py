@@ -105,6 +105,33 @@ def strain_and_homogenize(
     return state, stress_pa
 
 
+def strain_and_homogenize_multi(sys, state_J, dlength_J, params: MDParams,
+                                active_J=None):
+    """J jobs packed into ONE fused kernel program (ops/md_fused.py's
+    FusedSpec.jobs mechanism, +16%% measured at J=2 on v5e): the exact
+    per-job semantics of ``strain_and_homogenize``, leading axis J on
+    every argument/return.  Requires the all-pairs fused path without
+    kspace (the coupling layer gates on that)."""
+    eps_eff = jax.vmap(effective_strain)(state_J.h, dlength_J)
+    nts = jax.vmap(lambda e: nts_for_strain(e, params))(eps_eff)
+    dt = jnp.broadcast_to(jnp.asarray(params.dt, state_J.pos.dtype),
+                          nts.shape)
+    n_sample = jnp.full(nts.shape, params.nsteps_sample, jnp.int32)
+    if active_J is not None:
+        nts = jnp.where(active_J, nts, 1)
+        n_sample = jnp.where(active_J, n_sample, 1)
+        dt = jnp.where(active_J, dt, 0.0)
+        eps_eff = jnp.where(active_J[:, None], eps_eff, 0.0)
+    from ..ops import md_fused as MFU
+
+    r = sys.fused
+    state_J = MFU.run_strain_fused_multi(r, state_J, eps_eff, nts,
+                                         params.temperature, dt)
+    state_J, press = MFU.sample_stress_fused_multi(
+        r, state_J, n_sample, params.temperature, dt)
+    return state_J, -press * ATM_TO_PA
+
+
 # LAMMPS ELASTIC Voigt dir (0-based) -> framework Voigt index
 # LAMMPS: 1=xx 2=yy 3=zz 4=yz 5=xz 6=xy ; framework: [xx,yy,zz,xy,xz,yz]
 _LAMMPS_TO_FRAMEWORK = (0, 1, 2, 5, 4, 3)

@@ -80,6 +80,10 @@ class MaterialSpec:
     # sw extras: fused Pallas brick kernels (ops/sw_pallas.py) — the
     # big-box force path (wins beyond ~10k atoms)
     use_pallas_bricks: bool = False
+    # P4 spatial decomposition: shard ONE big SW box's force work into
+    # x-slabs over this many devices (the reference's per-job LAMMPS
+    # domain decomposition, stmd_problem.h:156,284); 0 = off
+    spatial_shards: int = 0
     # setup-time sanity checks (min-image bound, k_max coverage, cell
     # capacity); disable only for deliberately unphysical test fixtures
     validate: bool = True
@@ -591,6 +595,24 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         fused = _build_fused_runner(spec, ff, masses, nspec, dtype)
     elif spec.force_field == "sw" and not use_onehot:
         fused = _build_fused_runner_sw(spec, spec.sw, masses, nspec, dtype)
+    spatial = None
+    if spec.spatial_shards > 0:
+        if spec.force_field != "sw":
+            raise ValueError("spatial_shards: only SW boxes have a "
+                             "sharded force path (P4)")
+        from jax.sharding import Mesh
+        from ..parallel import spatial_md as SP
+
+        k = spec.spatial_shards
+        devs = jax.devices()
+        if len(devs) < k:
+            raise ValueError(
+                f"spatial_shards={k} but only {len(devs)} devices")
+        sg = SP.derive_sharded_grid(n, np.asarray(h), cutoff=cutoff,
+                                    skin=0.5, n_shards=k)
+        spatial = SP.SpatialRunner(
+            sg=sg, mesh=Mesh(np.array(devs[:k]), ("md",)))
+        fused = None  # the sharded loop owns the force path
     sys = E.MDSystem(
         ff=ff,
         masses=masses,
@@ -599,6 +621,7 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
         rebuild_every=spec.rebuild_every,
         onehot=ohspec,
         fused=fused,
+        spatial=spatial,
     )
     st = E.init_state(jnp.asarray(pos, dtype=dtype), jnp.asarray(h, dtype=dtype))
     return sys, st

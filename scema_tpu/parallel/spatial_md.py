@@ -117,19 +117,22 @@ def bin_atoms(sg: ShardedGridSpec, pos: jax.Array, h: jax.Array) -> jax.Array:
 
 
 def sw_energy_sharded(sw, sg: ShardedGridSpec, mesh, pos, h,
-                      axis: str = "md"):
+                      axis: str = "md", grid_idx=None):
     """Total SW energy of one box, x-slab-sharded over ``mesh[axis]``.
 
     pos/h are replicated inputs; the slot grid is built once and sharded
     on its plane axis.  Each shard exchanges one boundary plane with each
-    ring neighbor per force evaluation.
+    ring neighbor per force evaluation.  ``grid_idx`` reuses an existing
+    binning (valid across a rebuild interval by the skin argument — and
+    across affine deforms, which hold fractional coordinates fixed).
     """
     n = pos.shape[0]
     ndev = mesh.shape[axis]
     c1 = sg.cells[0]
     assert c1 % ndev == 0
 
-    grid_idx = bin_atoms(sg, pos, h)
+    if grid_idx is None:
+        grid_idx = bin_atoms(sg, pos, h)
     pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], axis=0)
     g = pos_pad[grid_idx.reshape(-1)].reshape(
         sg.cap, c1, sg.p_pad, 3)
@@ -201,8 +204,129 @@ def sw_energy_sharded(sw, sg: ShardedGridSpec, mesh, pos, h,
     return fn(pos_g, occ)
 
 
-def sw_forces_sharded(sw, sg: ShardedGridSpec, mesh, pos, h, axis="md"):
+def sw_forces_sharded(sw, sg: ShardedGridSpec, mesh, pos, h, axis="md",
+                      grid_idx=None):
     """Forces = -grad of the sharded energy (halo exchange differentiates
     through the ppermute transpose)."""
     return -jax.grad(
-        lambda p: sw_energy_sharded(sw, sg, mesh, p, h, axis=axis))(pos)
+        lambda p: sw_energy_sharded(sw, sg, mesh, p, h, axis=axis,
+                                    grid_idx=grid_idx))(pos)
+
+
+def sw_virial_sharded(sw, sg: ShardedGridSpec, mesh, pos, h, axis="md",
+                      grid_idx=None):
+    """Voigt-6 virial W = -dE/dF of the sharded energy (F the
+    upper-triangular deformation applied to positions AND cell,
+    fractionals held fixed — exact for any conservative energy)."""
+    def e_of(f6):
+        M = jnp.eye(3, dtype=pos.dtype) + jnp.array(
+            [[f6[0], f6[3], f6[4]],
+             [0.0, f6[1], f6[5]],
+             [0.0, 0.0, f6[2]]], dtype=pos.dtype)
+        return sw_energy_sharded(sw, sg, mesh, pos @ M.T, M @ h,
+                                 axis=axis, grid_idx=grid_idx)
+
+    return -jax.grad(e_of)(jnp.zeros(6, dtype=pos.dtype))
+
+
+# --------------------------------------------------------------------------
+# P4 sharded integration: the full strain/NVT/sampling time loop with the
+# force work x-slab-decomposed across the mesh every step.
+
+
+@dataclass(frozen=True)
+class SpatialRunner:
+    """MDSystem plug-in (like md_fused.FusedRunner): when set, the engine
+    run_strain/sample_stress loops run with sharded force evaluations.
+
+    The reference runs each big MD job spatially decomposed over its
+    batch communicator (stmd_problem.h:156, 284 — LAMMPS's MPI domain
+    decomposition).  Here the state stays replicated (one box; O(N)
+    integration is negligible) while the O(N * 27 * cap^2) stencil work
+    is decomposed into x-slabs with one ppermute halo plane per ring
+    neighbor per force call — the psum of force shards is the only
+    collective, riding ICI.
+    """
+
+    sg: ShardedGridSpec
+    mesh: object
+    axis: str = "md"
+
+
+def run_strain_sharded(sys, runner: SpatialRunner, state, eps_eff,
+                       n_steps, T, dt):
+    """engine.run_strain semantics with sharded SW force evaluations:
+    chunks of ``rebuild_every`` steps reuse one binning; fix-deform
+    remaps positions affinely each step (fractionals fixed, so the
+    binning stays valid across deform too)."""
+    from ..md import engine as E
+
+    sw = getattr(sys.ff, "sw", sys.ff)
+    sg, mesh, axis = runner.sg, runner.mesh, runner.axis
+    h0 = state.h
+    n_steps = jnp.maximum(jnp.asarray(n_steps), sys.rebuild_every)
+    n_chunks = n_steps // sys.rebuild_every
+    dtype = state.pos.dtype
+    eps = jnp.asarray(eps_eff, dtype)
+
+    def chunk(c, st):
+        grid_idx = bin_atoms(sg, st.pos, st.h)
+        F = sw_forces_sharded(sw, sg, mesh, st.pos, st.h, axis=axis,
+                              grid_idx=grid_idx)
+
+        def inner(i, carry):
+            st, F = carry
+            st, F = E._verlet_step(
+                sys, st, F, None, T, dt,
+                forces_fn=lambda pos, h: sw_forces_sharded(
+                    sw, sg, mesh, pos, h, axis=axis, grid_idx=grid_idx))
+            gstep = c * sys.rebuild_every + i + 1
+            frac = gstep.astype(dtype) / n_steps.astype(dtype)
+            h_new = B.deform_path(h0, eps, frac)
+            pos = B.remap_affine(st.h, h_new, st.pos)
+            return (st._replace(pos=pos, h=h_new), F)
+
+        st, _ = jax.lax.fori_loop(0, sys.rebuild_every, inner, (st, F))
+        return st
+
+    return jax.lax.fori_loop(0, n_chunks, chunk, state)
+
+
+def sample_stress_sharded(sys, runner: SpatialRunner, state, n_steps,
+                          T, dt):
+    """engine.sample_stress semantics with sharded forces + virial."""
+    from ..md import engine as E
+
+    sw = getattr(sys.ff, "sw", sys.ff)
+    sg, mesh, axis = runner.sg, runner.mesh, runner.axis
+    dtype = state.pos.dtype
+    R = sys.rebuild_every
+    n_chunks = max(1, int(n_steps) // R)
+
+    def chunk(carry, _):
+        st = carry
+        grid_idx = bin_atoms(sg, st.pos, st.h)
+        F = sw_forces_sharded(sw, sg, mesh, st.pos, st.h, axis=axis,
+                              grid_idx=grid_idx)
+
+        def inner(i, c2):
+            st, F, pacc = c2
+            st, F = E._verlet_step(
+                sys, st, F, None, T, dt,
+                forces_fn=lambda pos, h: sw_forces_sharded(
+                    sw, sg, mesh, pos, h, axis=axis, grid_idx=grid_idx))
+            w6 = sw_virial_sharded(sw, sg, mesh, st.pos, st.h, axis=axis,
+                                   grid_idx=grid_idx)
+            W = jnp.array([[w6[0], w6[3], w6[4]],
+                           [w6[3], w6[1], w6[5]],
+                           [w6[4], w6[5], w6[2]]], dtype=dtype)
+            p6 = E.pressure_tensor(sys, st, W)
+            return (st, F, pacc + p6)
+
+        st, _, pacc = jax.lax.fori_loop(
+            0, R, inner, (st, F, jnp.zeros((6,), dtype)))
+        return st, pacc
+
+    st, accs = jax.lax.scan(chunk, state, None, length=n_chunks)
+    press = jnp.sum(accs, axis=0) / (n_chunks * R)
+    return st, press

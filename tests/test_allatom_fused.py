@@ -112,13 +112,6 @@ def test_allatom_kspace_fused_close_to_xla():
     assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=0.02,
                        atol=5e4)
 
-    # coarser freezing stays consistent with per-step re-evaluation
-    sys_f5, _ = M.build_system(
-        M.MaterialSpec(**c, use_fused=True, kspace_every=5))
-    out_5, sig_5 = strain_and_homogenize(sys_f5, st_f, dl, params)
-    assert np.allclose(np.asarray(sig_5), np.asarray(sig_f), rtol=0.02,
-                       atol=5e4)
-
 
 def test_allatom_inactive_job_noop():
     """dt = 0 padding jobs stay bit-exact no-ops with SHAKE in-kernel

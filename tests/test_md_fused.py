@@ -481,3 +481,50 @@ def test_fused_coulomb_uses_special_coul_weights():
                        atol=1e-7)
     assert np.allclose(np.asarray(sig_f), np.asarray(sig_x), rtol=1e-6,
                        atol=1e2)
+
+
+def test_multi_job_packing_matches_single():
+    """J=2 job packing (FusedSpec.jobs): one program integrating two
+    jobs with different strains and step counts equals two single-job
+    programs exactly — including the free-wheel freeze of the
+    shorter job and (live, dead) pairs."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import (
+        MDParams, strain_and_homogenize, strain_and_homogenize_multi)
+
+    common = dict(name="m", force_field="opls", n_chains=32, chain_length=6,
+                  opls_lj_cutoff=6.0, opls_coul_cutoff=6.0, validate=False,
+                  rebuild_every=10, use_fused=True)
+    sys_f, st = M.build_system(M.MaterialSpec(**common))
+    assert sys_f.fused is not None and sys_f.fused.spec.allpairs
+    st = E.minimize_fire(sys_f, st, n_steps=150, dt0=0.5)
+    st = st._replace(vel=E.maxwell_velocities(sys_f, jax.random.PRNGKey(5),
+                                              80.0))
+    params = MDParams(temperature=80.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl_a = jnp.asarray([0.01, -0.01, 0.02, 0.0, 0.004, 0.0])
+    dl_b = jnp.asarray([0.05, 0.01, -0.04, 0.006, 0.0, 0.0])  # longer nts
+
+    out_a, sig_a = strain_and_homogenize(sys_f, st, dl_a, params)
+    out_b, sig_b = strain_and_homogenize(sys_f, st, dl_b, params)
+
+    st2 = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), st)
+    dl2 = jnp.stack([dl_a, dl_b])
+    out2, sig2 = strain_and_homogenize_multi(
+        sys_f, st2, dl2, params, active_J=jnp.asarray([True, True]))
+
+    for got, want in ((out2.pos[0], out_a.pos), (out2.pos[1], out_b.pos),
+                      (out2.vel[0], out_a.vel), (out2.vel[1], out_b.vel),
+                      (out2.h[0], out_a.h), (out2.h[1], out_b.h),
+                      (sig2[0], sig_a), (sig2[1], sig_b)):
+        assert np.allclose(np.asarray(got), np.asarray(want), rtol=0.0,
+                           atol=1e-12)
+
+    # (live, dead) pair: the dead slot is a bit-exact no-op and the live
+    # job is unaffected by its neighbor
+    out3, sig3 = strain_and_homogenize_multi(
+        sys_f, st2, dl2, params, active_J=jnp.asarray([True, False]))
+    assert np.allclose(np.asarray(out3.pos[0]), np.asarray(out_a.pos),
+                       rtol=0.0, atol=1e-12)
+    assert np.array_equal(np.asarray(out3.pos[1]), np.asarray(st.pos))
+    assert np.array_equal(np.asarray(out3.vel[1]), np.asarray(st.vel))

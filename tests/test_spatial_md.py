@@ -70,3 +70,40 @@ def test_sharded_matches_at_2_and_4_way():
                                  skin=0.5, n_shards=ndev)
         e_sh = float(sw_energy_sharded(sw, sg, mesh, pos, h))
         assert abs(e_sh - e_ref) / abs(e_ref) < 1e-10, ndev
+
+
+def test_sharded_integration_matches_single_device():
+    """P4 as a REAL sharded MD run: the full strain+NVT time loop with
+    slab-sharded force evaluations (halo exchange every step, binning
+    reuse across the rebuild interval, fix-deform remap) matches the
+    single-device engine path trajectory AND sampled stress."""
+    from scema_tpu.md import engine as E
+    from scema_tpu.md import material as M
+
+    common = dict(name="si", force_field="sw", n_cells=8,
+                  rebuild_every=10)
+    sys_x, st_x = M.build_system(M.MaterialSpec(**common, use_fused=False))
+    sys_s, st_s = M.build_system(
+        M.MaterialSpec(**common, use_fused=False, spatial_shards=8))
+    assert sys_s.spatial is not None and sys_x.spatial is None
+    assert sys_s.n_atoms == 4096
+
+    vel = E.maxwell_velocities(sys_x, jax.random.PRNGKey(7), 50.0)
+    st_x = st_x._replace(vel=vel)
+    st_s = st_s._replace(vel=vel)
+    eps = jnp.asarray([0.002, 0.0, -0.001, 0.0, 0.0005, 0.0])
+
+    out_x = E.run_strain(sys_x, st_x, eps, jnp.asarray(20), 50.0, 0.5)
+    out_s = E.run_strain(sys_s, st_s, eps, jnp.asarray(20), 50.0, 0.5)
+    assert np.allclose(np.asarray(out_s.pos), np.asarray(out_x.pos),
+                       atol=1e-8)
+    assert np.allclose(np.asarray(out_s.vel), np.asarray(out_x.vel),
+                       atol=1e-8)
+    assert np.allclose(np.asarray(out_s.h), np.asarray(out_x.h))
+
+    st2_x, p_x = E.sample_stress(sys_x, out_x, 10, 50.0, 0.5)
+    st2_s, p_s = E.sample_stress(sys_s, out_s, 10, 50.0, 0.5)
+    assert np.allclose(np.asarray(p_s), np.asarray(p_x), rtol=1e-8,
+                       atol=1e-6)
+    assert np.allclose(np.asarray(st2_s.pos), np.asarray(st2_x.pos),
+                       atol=1e-8)
