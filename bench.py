@@ -140,6 +140,51 @@ def bench_md_allatom():
     return _bench_throughput(spec, n_jobs=32, n_steps=100, dt=1.0)
 
 
+def _allatom_spec():
+    from scema_tpu.md import material as M
+
+    return M.MaterialSpec(name="peaa", force_field="opls", allatom=True,
+                          n_chains=56, chain_length=10, pe_density=0.68,
+                          opls_lj_cutoff=12.0, opls_coul_cutoff=9.0,
+                          use_ewald=True, kspace_every=10)
+
+
+def bench_hmm_allatom():
+    """The coupled dogbone HMM with the reference's REAL OPLS material:
+    charged all-atom PE + SHAKE + kspace at every flagged qp (capacity
+    capped at 128 to bound the step cost)."""
+    import jax
+    import numpy as np
+    from scema_tpu.config import load_config
+    from scema_tpu.hmm.md_coupling import build_md_hmm
+
+    cfg = load_config(
+        "/root/reference/input_configurations/inputs_dogbone_cuboid.json",
+        dtype="float32", md_dtype="float32",
+    )
+    cfg = cfg.replace(resources=cfg.resources.__class__(
+        machine_cores_per_node=cfg.resources.machine_cores_per_node,
+        fe_cores_max=cfg.resources.fe_cores_max,
+        md_cores_min=cfg.resources.md_cores_min,
+        max_md_jobs=128,
+    ))
+    hmm = build_md_hmm(cfg, spec=_allatom_spec(), equil_steps=50,
+                       minimize_steps=100)
+    carry = hmm.init_state()
+    step = jax.jit(hmm.step)
+    carry, out = step(carry)
+    float(np.asarray(carry[0].u[0]))  # compile + step 1
+    t0 = time.perf_counter()
+    carry, out = step(carry)
+    float(np.asarray(carry[0].u[0]))
+    dt_s = time.perf_counter() - t0
+    jobs = int(out.n_jobs)
+    n_atoms = hmm.backend.sys.n_atoms
+    print(f"[bench] coupled all-atom dogbone: {dt_s:.2f} s/step, "
+          f"{jobs} jobs x {n_atoms} atoms", file=sys.stderr)
+    return dt_s, jobs, n_atoms
+
+
 def bench_sisw_example():
     """The reference's own shipped workload (streched_polyhedron: SiSW,
     1x1x2 cells, 16 qps): its README documents ~4 min for 2 macro-steps
@@ -202,6 +247,11 @@ def bench_hmm_opls():
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--allatom-coupled-only":
+        dt_s, jobs, n_atoms = bench_hmm_allatom()
+        print(json.dumps({"s_per_step": dt_s, "jobs": jobs,
+                          "n_atoms": n_atoms}))
+        return
     result = {}
     try:
         md_rate = bench_md_throughput_fused()
@@ -242,6 +292,28 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] SiSW example failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    try:
+        # the coupled charged run compiles a large kernel — isolate it in
+        # a watchdogged subprocess so a pathological compile cannot take
+        # the whole bench down with it
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, __file__, "--allatom-coupled-only"],
+            capture_output=True, text=True, timeout=1500)
+        line = r.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        result.update(
+            hmm_allatom_s_per_step=round(d["s_per_step"], 2),
+            hmm_allatom_jobs=d["jobs"],
+            hmm_allatom_box_atoms=d["n_atoms"],
+        )
+        print(f"[bench] coupled all-atom dogbone: "
+              f"{d['s_per_step']:.2f} s/step", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] coupled all-atom failed ({type(e).__name__}: {e})",
               file=sys.stderr)
 
     try:

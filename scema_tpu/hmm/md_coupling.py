@@ -450,6 +450,20 @@ def build_md_hmm(
         cg_vector=cfg.material.common_ground_vector,
     )
 
+    # the reference's 'minimum number of cores for MD simulation' knob
+    # (set_md_procs: LAMMPS ranks per job) maps to P4 spatial sharding
+    # for boxes beyond the fused all-pairs gate — small boxes are faster
+    # unsharded (one chip runs hundreds of them batched)
+    k_md = cfg.resources.md_cores_min
+    if k_md > 1 and specs_auto:
+        for mi, ms in enumerate(specs):
+            cells = ms.n_cells_xyz or (ms.n_cells,) * 3
+            n_est = 8 * int(np.prod(cells))
+            if (ms.force_field == "sw" and ms.spatial_shards == 0
+                    and n_est > 2048 and len(jax.devices()) >= k_md):
+                specs[mi] = M.MaterialSpec(
+                    **{**ms.__dict__, "spatial_shards": k_md})
+
     # reference LAMMPS binary restarts (init.<mat>_<n>.bin,
     # stmd_problem.h:185-207 read_restart): when present, the material's
     # box geometry comes from the restart file itself — adapt the SW
@@ -536,15 +550,16 @@ def build_md_hmm(
                 [jnp.asarray(d.stiff, dtype=dtype) for d in rep_data])[None],
             rho=jnp.asarray([[d.density for d in rep_data]], dtype=dtype),
         )
-        # pack 2 jobs per Pallas program where the mechanism exists (the
-        # all-pairs fused path without kspace — the HMM hot path)
-        fr = sys.fused
-        packable = (fr is not None and fr.spec.allpairs
-                    and not fr.spec.sw and not fr.spec.fext)
+        # 2-job packing exists and is bit-exact (FusedSpec.jobs,
+        # tests/test_md_fused.py::test_multi_job_packing_matches_single)
+        # but MEASURED SLOWER in production (1.40e8 vs 1.48e8 atom-steps/s
+        # at 576x512): the slim-probe +16% came from sharing full-width
+        # row ops and one NHC chain across jobs, which the honest
+        # per-job-scalars version cannot share.  Default off.
         backends.append(MDBackend(
             sys=sys, params=params, ensemble=ens, n_repl=n_repl,
             max_jobs=max_jobs, initial_md_state=st0, device_mesh=device_mesh,
-            pack_jobs=2 if packable else 1,
+            pack_jobs=1,
         ))
         sc, rc = bridge.average_replica_data(ens)
         stiff_rows.append(sc[0])

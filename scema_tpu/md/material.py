@@ -468,6 +468,30 @@ def _runner_pair_classes(n, types, eps_table, sig_table, weights_fn,
 
 
 def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
+    # setup-time array work (dense parameter matrices, pair classes,
+    # validation scans) is many SMALL ops — on a remote-tunnel backend
+    # (axon) each would pay a round trip (measured: 690 s vs 9 s for the
+    # 1792-atom charged build).  Pin the builder to the host CPU; the
+    # compute path transfers the finished arrays once.
+    cpus = None
+    if jax.default_backend() != "cpu":
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = None
+    if cpus:
+        with jax.default_device(cpus[0]):
+            sys_, st = _build_system(spec, dtype)
+        # the state is an explicit argument of user jits — move it to the
+        # accelerator; everything hanging off MDSystem flows into traces
+        # as closure constants and is placed at compile time
+        dev = jax.devices()[0]
+        st = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), st)
+        return sys_, st
+    return _build_system(spec, dtype)
+
+
+def _build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.MDState]:
     use_onehot = False
     if spec.force_field == "sw":
         cxyz = spec.n_cells_xyz or (spec.n_cells,) * 3

@@ -685,8 +685,8 @@ def main(variants):
     iscal = jnp.asarray([N_STEPS, N_STEPS], jnp.int32)
 
     for v in variants:
-        if v == "v0":
-            time_v0()
+        if v in ("v0", "v0p"):
+            time_v0(packed=v == "v0p")
             continue
         w4e_v = w4e * (6.0 if v in ("v3", "v4", "v5", "v7", "v7d4", "v8")
                        else 1.0)
@@ -714,11 +714,12 @@ def main(variants):
         time_variant(v, run_batch, batch, w4e_b, sig2_b, isb, fsb)
 
 
-def time_v0():
-    """Production path baseline via ops.md_fused."""
+def time_v0(packed=False):
+    """Production path baseline via ops.md_fused (packed=2 jobs/program)."""
     from scema_tpu.md import material as M
     from scema_tpu.md import engine as E
     from scema_tpu.md.homogenization import MDParams
+    from scema_tpu.ops import md_fused as MFU
 
     spec = M.MaterialSpec(name="g0", force_field="opls")
     sys_, st0 = M.build_system(spec, dtype=jnp.float32)
@@ -732,21 +733,35 @@ def time_v0():
     batch = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (N_JOBS,) + x.shape), st0)
 
-    @jax.jit
-    def run(b, e):
-        return jax.vmap(
-            lambda s, ee: E.run_strain(sys_, s, ee, jnp.asarray(N_STEPS),
-                                       300.0, 2.0))(b, e)
+    if packed:
+        J = 2
+        batch = jax.tree_util.tree_map(
+            lambda x: x.reshape((N_JOBS // J, J) + x.shape[1:]), batch)
+        eps = eps.reshape(N_JOBS // J, J, 6)
+        nsJ = jnp.full((J,), N_STEPS, jnp.int32)
+        dtJ = jnp.full((J,), 2.0, jnp.float32)
+
+        @jax.jit
+        def run(b, e):
+            return jax.vmap(
+                lambda s, ee: MFU.run_strain_fused_multi(
+                    sys_.fused, s, ee, nsJ, 300.0, dtJ))(b, e)
+    else:
+        @jax.jit
+        def run(b, e):
+            return jax.vmap(
+                lambda s, ee: E.run_strain(sys_, s, ee, jnp.asarray(N_STEPS),
+                                           300.0, 2.0))(b, e)
 
     t0 = time.perf_counter()
     out = run(batch, eps)
-    sync(out.pos[0, 0, 0])
+    sync(out.pos.reshape(-1)[0])
     print(f"  (v0 compile+run {time.perf_counter()-t0:.1f}s)")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = run(batch, eps)
-        sync(out.pos[0, 0, 0])
+        sync(out.pos.reshape(-1)[0])
         times.append(time.perf_counter() - t0)
     best = min(times)
     aps = N_JOBS * N_ATOMS * N_STEPS / best

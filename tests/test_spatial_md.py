@@ -80,13 +80,14 @@ def test_sharded_integration_matches_single_device():
     from scema_tpu.md import engine as E
     from scema_tpu.md import material as M
 
-    common = dict(name="si", force_field="sw", n_cells=8,
+    common = dict(name="si", force_field="sw", n_cells=5,
                   rebuild_every=10)
     sys_x, st_x = M.build_system(M.MaterialSpec(**common, use_fused=False))
     sys_s, st_s = M.build_system(
-        M.MaterialSpec(**common, use_fused=False, spatial_shards=8))
+        M.MaterialSpec(**common, use_fused=False, spatial_shards=4))
     assert sys_s.spatial is not None and sys_x.spatial is None
-    assert sys_s.n_atoms == 4096
+    assert sys_s.n_atoms == 1000
+    assert sys_s.spatial.mesh.shape["md"] == 4
 
     vel = E.maxwell_velocities(sys_x, jax.random.PRNGKey(7), 50.0)
     st_x = st_x._replace(vel=vel)
