@@ -108,7 +108,8 @@ def strain_and_homogenize(
 def strain_and_homogenize_multi(sys, state_J, dlength_J, params: MDParams,
                                 active_J=None):
     """J jobs packed into ONE fused kernel program (ops/md_fused.py's
-    FusedSpec.jobs mechanism, +16%% measured at J=2 on v5e): the exact
+    FusedSpec.jobs mechanism, measured slower than J=1 in production — see
+    md_coupling pack_jobs — but bit-exact and available): the exact
     per-job semantics of ``strain_and_homogenize``, leading axis J on
     every argument/return.  Requires the all-pairs fused path without
     kspace (the coupling layer gates on that)."""

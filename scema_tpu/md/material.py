@@ -138,6 +138,19 @@ def _validate_setup(spec: MaterialSpec, pos, h, nspec: NB.NeighborSpec) -> None:
         )
 
 
+
+# The builder pins its array work to the host CPU (see build_system), but
+# backend-dependent AUTO policies (use_fused, interpret) must reflect the
+# SESSION platform, not the temporary placement context.
+_SESSION_PLATFORM = None
+
+
+def _session_platform() -> str:
+    global _SESSION_PLATFORM
+    if _SESSION_PLATFORM is None:
+        _SESSION_PLATFORM = jax.default_backend()
+    return _SESSION_PLATFORM
+
 def _build_kspace_split(ff, Wq, n: int, dtype):
     """Smooth-remainder Coulomb force/virial for the fused kspace split.
 
@@ -210,7 +223,7 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
     """
     use = spec.use_fused
     if use is None:
-        use = jax.default_backend() != "cpu"
+        use = _session_platform() != "cpu"
     if not use:
         return None
     from ..ops import md_fused as MFU
@@ -286,7 +299,7 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
         bonded_pattern=patterns,
         shake_offsets=shake_offsets,
         fext=has_kspace,
-        interpret=jax.default_backend() == "cpu",
+        interpret=_session_platform() == "cpu",
     )
     packed = _runner_pair_classes(
         n, types, eps_table, sig_table, weights_fn, qq_table, nspec,
@@ -386,7 +399,7 @@ def _build_fused_runner_sw(spec: MaterialSpec, swff, masses, nspec, dtype):
     forces, ops/md_fused.forces_allpairs_sw)."""
     use = spec.use_fused
     if use is None:
-        use = jax.default_backend() != "cpu"
+        use = _session_platform() != "cpu"
     n = int(masses.shape[0])
     if not use or n > 640:
         return None
@@ -403,7 +416,7 @@ def _build_fused_runner_sw(spec: MaterialSpec, swff, masses, nspec, dtype):
         boltz=REAL.boltz,
         ftm2v=REAL.ftm2v,
         nktv2p=REAL.nktv2p,
-        interpret=jax.default_backend() == "cpu",
+        interpret=_session_platform() == "cpu",
         allpairs=True,
         sw=True,
         sw_params=(float(swff.epsilon), float(swff.sigma), float(swff.a),
@@ -474,7 +487,7 @@ def build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.M
     # 1792-atom charged build).  Pin the builder to the host CPU; the
     # compute path transfers the finished arrays once.
     cpus = None
-    if jax.default_backend() != "cpu":
+    if _session_platform() != "cpu":
         try:
             cpus = jax.devices("cpu")
         except RuntimeError:
@@ -511,7 +524,7 @@ def _build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.
         # the 16x fused kernel, not the one-hot structure.
         fused_use = spec.use_fused
         if fused_use is None:
-            fused_use = jax.default_backend() != "cpu"
+            fused_use = _session_platform() != "cpu"
         fused_sw_ok = (
             fused_use and n <= 640 and not spec.use_pallas_bricks
             and abs(float(ff.p) - 4.0) < 1e-12 and abs(float(ff.q)) < 1e-12
