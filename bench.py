@@ -70,12 +70,17 @@ def bench_md_throughput_fused():
         )(b, e)
 
     out = run(batch, eps)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(batch, eps)
-    float(np.asarray(out.pos[0, 0, 0]))  # real sync through the axon tunnel
-    dt_s = time.perf_counter() - t0
-    return n_jobs * sys_.n_atoms * n_steps / dt_s
+    # block_until_ready is a NO-OP through the axon tunnel — a scalar
+    # device->host read is the only real sync, and without it the timed
+    # rep would absorb the (async!) compile
+    float(np.asarray(out.pos[0, 0, 0]))
+    best = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run(batch, eps)
+        float(np.asarray(out.pos[0, 0, 0]))
+        best = min(best, time.perf_counter() - t0)
+    return n_jobs * sys_.n_atoms * n_steps / best
 
 
 def _bench_throughput(spec, n_jobs, n_steps, dt=2.0, T=300.0,
@@ -231,7 +236,7 @@ def bench_hmm_opls():
     carry = hmm.init_state()
     step = jax.jit(hmm.step)
     carry, out = step(carry)
-    jax.block_until_ready(carry)  # compile + step 1
+    float(np.asarray(carry[0].u[0]))  # compile + step 1 (real sync)
 
     n = 3
     t0 = time.perf_counter()

@@ -277,6 +277,18 @@ def _mdparams(d):
         # points at the Stillinger-Weber script set — resolve the quirk
         # ONCE here so every consumer sees the effective force field
         ff = "sw"
+    if ff == "reax" or "reax" in scripts:
+        import warnings
+
+        # documented out-of-scope gap (SURVEY.md hard parts): ReaxFF +
+        # QEq has no implementation path; Hooke/surrogate bridging modes
+        # still run this config, real-MD mode raises at material build
+        warnings.warn(
+            "this configuration requests ReaxFF "
+            f"(force field {ff!r}, scripts {scripts!r}): ReaxFF + QEq is "
+            "out of scope for scema_tpu — only Hooke-law or surrogate "
+            "bridging modes will run; stress method 0 raises at material "
+            "build", stacklevel=2)
     return MDParamsConfig(
         temperature=float(_get(m, "temperature", 300.0)),
         timestep_length=float(_get(m, "timestep length", 2.0)),

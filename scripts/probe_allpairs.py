@@ -756,7 +756,8 @@ def time_v0(packed=False):
     t0 = time.perf_counter()
     out = run(batch, eps)
     sync(out.pos.reshape(-1)[0])
-    print(f"  (v0 compile+run {time.perf_counter()-t0:.1f}s)")
+    lbl = "v0p" if packed else "v0"
+    print(f"  ({lbl} compile+run {time.perf_counter()-t0:.1f}s)")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -765,7 +766,7 @@ def time_v0(packed=False):
         times.append(time.perf_counter() - t0)
     best = min(times)
     aps = N_JOBS * N_ATOMS * N_STEPS / best
-    print(f"v0: {best*1e3:.1f} ms  {aps:.3e} atom-steps/s")
+    print(f"{lbl}: {best*1e3:.1f} ms  {aps:.3e} atom-steps/s")
 
 
 if __name__ == "__main__":
