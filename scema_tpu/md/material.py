@@ -312,15 +312,19 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
     # all-pairs mode: dense position-independent parameter matrices ->
     # zero rebuilds, one kernel call per MD run.  The gate is the VMEM
     # budget: lj1/lj2 + 3 min-image planes (+ qq) of (NPAD, NPAD) f32
-    # must fit the 100 MB scoped-vmem limit — ~2048 atoms neutral, ~1792
-    # charged.  That range covers both the HMM's per-qp boxes (~512) and
-    # the reference's charged all-atom OPLS boxes at the 12 A cutoff
-    # (>= ~1400 atoms), where the tile-pair kernel still beats the
-    # gather-bound list path by ~10x.
+    # must fit the kernel's 116 MB scoped-vmem limit (v5e: 128 MiB
+    # physical).  Measured on hardware: the charged 1792-atom build's
+    # actual scoped usage is 1.42x this plane model (compiler
+    # double-buffering + state/channel blocks), so the plane budget is
+    # 116/1.42 = 81 MB — ~1920 atoms neutral, ~1792 charged.  That range
+    # covers both the HMM's per-qp boxes (~512) and the reference's
+    # charged all-atom OPLS boxes at the 12 A cutoff (>= ~1400 atoms),
+    # where the tile-pair kernel still beats the gather-bound list path
+    # by ~10x.
     dense_lj1 = dense_lj2 = dense_qq = None
     npad = MFU.pad_n(n)
     planes = 5 + (1 if qq_table is not None else 0)
-    allpairs = planes * npad * npad * 4 <= 88 * 1024 * 1024
+    allpairs = planes * npad * npad * 4 <= 81 * 1024 * 1024
     if not allpairs and (has_kspace or patterns or shake_offsets):
         return None  # kspace split / patterns / roll-SHAKE are
         # all-pairs-only mechanisms; bigger boxes take the XLA path

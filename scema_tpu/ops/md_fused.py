@@ -1453,9 +1453,12 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
     out = pl.pallas_call(
         kern,
         # wide-K channel sets (OPLS ~232 slots) exceed Mosaic's default
-        # 16M scoped-vmem budget; v5e has far more physical VMEM
+        # 16M scoped-vmem budget; v5e has 128 MiB physical VMEM.  116 MB
+        # (not 100) because the charged 1792-atom all-pairs build measures
+        # 109.41 MB of scoped allocations on hardware — the gate in
+        # material.py keeps requests under this via the 1.42x calibration.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=116 * 1024 * 1024),
         scratch_shapes=scratch_shapes,
         out_shape=(
             jax.ShapeDtypeStruct((1, 8, J * NT, LANE), dtype),
