@@ -272,11 +272,13 @@ def cmd_init_material(args) -> int:
         nsteps_sample=cfg.md.nsteps_sample,
     )
     outdir = args.outdir or cfg.dirs.nanoscale_input
-    ff = cfg.md.force_field  # sisw quirk resolved at config load
+    from .config import md_spec_kwargs
+
+    spec_kw = md_spec_kwargs(cfg)  # effective ff + reax ffield path
     for mi, mat in enumerate(cfg.material.materials):
         stiffs, rhos = [], []
         for repl in range(1, cfg.material.number_of_replicas + 1):
-            spec = M.MaterialSpec(name=mat, force_field=ff, n_cells=args.cells)
+            spec = M.MaterialSpec(name=mat, n_cells=args.cells, **spec_kw)
             sys_, st = M.build_system(spec)
             # same seed stream as build_md_hmm's inline prep (per material
             # AND per replica), so the two paths produce matching states
@@ -332,9 +334,10 @@ def cmd_strain_md(args) -> int:
         strain_rate=cfg.md.strain_rate,
         nsteps_sample=cfg.md.nsteps_sample,
     )
-    ff = cfg.md.force_field  # sisw quirk resolved at config load
-    spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff,
-                          n_cells=args.cells)
+    from .config import md_spec_kwargs
+
+    spec = M.MaterialSpec(name=cfg.material.materials[0],
+                          n_cells=args.cells, **md_spec_kwargs(cfg))
     sys_, st = M.build_system(spec)
     key = jax.random.PRNGKey(cfg.seed)
     st = M.equilibrate(sys_, st, params, key, minimize_steps=args.minimize_steps,
@@ -386,9 +389,10 @@ def cmd_analyse_md(args) -> int:
         strain_rate=cfg.md.strain_rate,
         nsteps_sample=cfg.md.nsteps_sample,
     )
-    ff = cfg.md.force_field  # sisw quirk resolved at config load
-    spec = M.MaterialSpec(name=cfg.material.materials[0], force_field=ff,
-                          n_cells=args.cells)
+    from .config import md_spec_kwargs
+
+    spec = M.MaterialSpec(name=cfg.material.materials[0],
+                          n_cells=args.cells, **md_spec_kwargs(cfg))
     sys_, st0 = M.build_system(spec)
     st = load_checkpoint(args.state, st0)
     st, press = jax.jit(

@@ -277,18 +277,12 @@ def _mdparams(d):
         # points at the Stillinger-Weber script set — resolve the quirk
         # ONCE here so every consumer sees the effective force field
         ff = "sw"
-    if ff == "reax" or "reax" in scripts:
-        import warnings
-
-        # documented out-of-scope gap (SURVEY.md hard parts): ReaxFF +
-        # QEq has no implementation path; Hooke/surrogate bridging modes
-        # still run this config, real-MD mode raises at material build
-        warnings.warn(
-            "this configuration requests ReaxFF "
-            f"(force field {ff!r}, scripts {scripts!r}): ReaxFF + QEq is "
-            "out of scope for scema_tpu — only Hooke-law or surrogate "
-            "bridging modes will run; stress method 0 raises at material "
-            "build", stacklevel=2)
+    if "reax" in scripts:
+        # a reax scripts directory selects pair_style reax/c + fix
+        # qeq/reax regardless of the declared force-field string
+        # (lammps_scripts_reax/in.strain.lammps:10-12); resolve the
+        # effective field once, like the sisw quirk above
+        ff = "reax"
     return MDParamsConfig(
         temperature=float(_get(m, "temperature", 300.0)),
         timestep_length=float(_get(m, "timestep length", 2.0)),
@@ -378,4 +372,47 @@ def load_config(path: str, **overrides) -> HMMConfig:
         if os.path.isdir(cand):
             cfg = cfg.replace(
                 dirs=dataclasses.replace(cfg.dirs, nanoscale_input=cand))
+    # the MD scripts directory (where reax configs keep ffield.reax*)
+    # resolves against the config's location too; the reference moved
+    # its script sets under a lammps_scripts/ umbrella, so try that
+    # layout as a fallback (lammps_scripts/lammps_scripts_reax/...)
+    sd = cfg.md.scripts_directory
+    if sd and not os.path.isabs(sd) and not os.path.isdir(sd):
+        base = os.path.dirname(os.path.abspath(path))
+        for cand in (
+            os.path.join(base, sd),
+            os.path.join(base, "lammps_scripts", os.path.basename(sd)),
+            os.path.join(base, "..", "lammps_scripts",
+                         os.path.basename(sd)),
+        ):
+            if os.path.isdir(cand):
+                cfg = cfg.replace(md=dataclasses.replace(
+                    cfg.md, scripts_directory=os.path.normpath(cand)))
+                break
     return cfg
+
+
+def reax_ffield_path(scripts_directory: str) -> str:
+    """Locate the ReaxFF parameter file in a reax scripts directory
+    (the reference ships ``ffield.reax.2`` next to in.set.lammps and
+    passes it via ``pair_coeff * * ${locs}/ffield.reax.2 H C N O``)."""
+    import glob
+    import os
+
+    cands = sorted(glob.glob(
+        os.path.join(scripts_directory, "ffield.reax*")))
+    if not cands:
+        raise FileNotFoundError(
+            f"no ffield.reax* parameter file in {scripts_directory!r} "
+            "(required for force field 'reax')")
+    return cands[0]
+
+
+def md_spec_kwargs(cfg: "HMMConfig") -> dict:
+    """MaterialSpec keyword arguments implied by a loaded config: the
+    effective force field, plus the ffield path for reax runs."""
+    ff = cfg.md.force_field
+    kw = dict(force_field=ff)
+    if ff == "reax":
+        kw["reax_ffield"] = reax_ffield_path(cfg.md.scripts_directory)
+    return kw

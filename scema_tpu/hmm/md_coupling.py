@@ -402,7 +402,6 @@ def build_md_hmm(
     n_repl = cfg.material.number_of_replicas
     materials = list(cfg.material.materials)
 
-    ff = cfg.md.force_field  # sisw quirk resolved at config load
     specs_auto = specs is None and spec is None
     if specs is None:
         if spec is not None:
@@ -412,7 +411,10 @@ def build_md_hmm(
                 ) for name in materials
             ] if len(materials) > 1 else [spec]
         else:
-            specs = [M.MaterialSpec(name=name, force_field=ff) for name in materials]
+            from ..config import md_spec_kwargs
+
+            kw = md_spec_kwargs(cfg)  # force field + reax ffield path
+            specs = [M.MaterialSpec(name=name, **kw) for name in materials]
     assert len(specs) == len(materials)
 
     params = MDParams(

@@ -91,6 +91,13 @@ class MaterialSpec:
     # loops; None = auto (on for TPU backends, off on CPU where the
     # kernel would run interpreted)
     use_fused: bool | None = None
+    # reax extras (force_field="reax"): ffield.reax path, pair_coeff
+    # element order (in.set.lammps: `pair_coeff * * ${locf} H C N O`),
+    # charge equilibration on/off, bonded-neighbor gather width
+    reax_ffield: str = ""
+    reax_elements: tuple = ("H", "C", "N", "O")
+    qeq: bool = True
+    reax_top_k: int = 8
 
 
 @dataclass(frozen=True)
@@ -598,10 +605,59 @@ def _build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.
         st = E.init_state(jnp.asarray(data.pos, dtype=dtype),
                           jnp.asarray(data.box, dtype=dtype))
         return sys, st
+    elif spec.force_field == "reax":
+        # pair_style reax/c + fix qeq/reax (lammps_scripts_reax/
+        # in.set.lammps:13-15) — the dense-field TPU implementation
+        # (forcefields/reax.py).  Structures come from the same builders
+        # as OPLS: a LAMMPS data file (atom_style charge) or the
+        # all-atom PE melt; element identity is inferred from masses.
+        from . import data_io
+        from .forcefields.reax import build_reax
+
+        if spec.data_file:
+            data = data_io.read_data(spec.data_file)
+        else:
+            data = data_io.build_pe_melt_allatom(
+                spec.n_chains, spec.chain_length, density=spec.pe_density)
+        n = len(data.pos)
+        if n > 2048:
+            raise ValueError(
+                f"reax box has {n} atoms; the dense bond-order field is "
+                "sized for the HMM per-qp regime (<= 2048)")
+        if not spec.reax_ffield:
+            raise ValueError(
+                "force_field='reax' needs reax_ffield (path to a "
+                "ffield.reax parameter file)")
+        masses_np = data.masses[data.types]
+        ff = build_reax(
+            spec.reax_ffield, list(spec.reax_elements), masses_np,
+            dtype=dtype, top_k=spec.reax_top_k, qeq=spec.qeq)
+        cutoff = ff.cutoff
+        nspec = NB.derive_spec(n, data.box, cutoff=cutoff, skin=1.0,
+                               k_max=32)
+        if spec.validate:
+            # the dense field needs no neighbor list — only the
+            # minimum-image bound applies (taper cutoff < half box)
+            hmin = float(np.min(np.abs(np.diag(np.asarray(
+                data.box, dtype=float)))))
+            if cutoff > 0.5 * hmin:
+                raise ValueError(
+                    f"material {spec.name!r}: reax taper cutoff "
+                    f"{cutoff:.1f} A violates the minimum-image bound "
+                    f"(box min height {hmin:.2f} A)")
+        sys = E.MDSystem(
+            ff=ff,
+            masses=jnp.asarray(masses_np, dtype=dtype),
+            nspec=nspec,
+            units=REAL,
+            rebuild_every=spec.rebuild_every,
+        )
+        st = E.init_state(jnp.asarray(data.pos, dtype=dtype),
+                          jnp.asarray(data.box, dtype=dtype))
+        return sys, st
     else:
         raise NotImplementedError(
-            f"force field {spec.force_field!r} is not implemented "
-            "(reax is out of scope, SURVEY.md hard parts)"
+            f"force field {spec.force_field!r} is not implemented"
         )
     nspec = NB.derive_spec(n, np.asarray(h), cutoff=cutoff, skin=1.0, k_max=k_max)
     if spec.validate:
