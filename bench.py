@@ -190,6 +190,43 @@ def bench_hmm_allatom():
     return dt_s, jobs, n_atoms
 
 
+def bench_md_reax():
+    """ReaxFF throughput: the reference's reax config class
+    (pair_style reax/c + fix qeq/reax, inputs_dogbone_file3D.json) on
+    the dense bond-order field — batched small reactive boxes, NVT."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scema_tpu.md import material as M
+    from scema_tpu.md import engine as E
+
+    spec = M.MaterialSpec(
+        name="reaxpe", force_field="reax", n_chains=16, chain_length=3,
+        pe_density=0.30, validate=False,
+        reax_ffield="/root/reference/lammps_scripts/lammps_scripts_reax/"
+                    "ffield.reax.2")
+    sys_, st0 = M.build_system(spec, dtype=jnp.float32)
+    st0 = E.minimize_fire(sys_, st0, n_steps=100, dt0=0.05)
+    st0 = st0._replace(vel=E.maxwell_velocities(
+        sys_, jax.random.PRNGKey(0), 300.0))
+    n_jobs, n_steps = 16, 50
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_jobs,) + x.shape), st0)
+
+    @jax.jit
+    def run(b):
+        return jax.vmap(lambda s: E.run_nvt(
+            sys_, s, n_steps=n_steps, T=300.0, dt=0.25))(b)
+
+    out = run(batch)
+    float(np.asarray(out.pos[0, 0, 0]))  # real sync (axon tunnel)
+    t0 = time.perf_counter()
+    out = run(batch)
+    float(np.asarray(out.pos[0, 0, 0]))
+    dt_s = time.perf_counter() - t0
+    return n_jobs * sys_.n_atoms * n_steps / dt_s
+
+
 def bench_sisw_example():
     """The reference's own shipped workload (streched_polyhedron: SiSW,
     1x1x2 cells, 16 qps): its README documents ~4 min for 2 macro-steps
@@ -287,6 +324,15 @@ def main():
         result.update(md_allatom_shake_pme_atom_steps_per_sec=round(aa, 0))
     except Exception as e:  # noqa: BLE001
         print(f"[bench] all-atom failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    try:
+        rx = bench_md_reax()
+        print(f"[bench] ReaxFF (dense field + QEq): {rx:.3e} atom-steps/s",
+              file=sys.stderr)
+        result.update(md_reax_atom_steps_per_sec=round(rx, 0))
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] reax failed ({type(e).__name__}: {e})",
               file=sys.stderr)
 
     try:
