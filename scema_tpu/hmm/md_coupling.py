@@ -558,10 +558,18 @@ def build_md_hmm(
         # at 576x512): the slim-probe +16% came from sharing full-width
         # row ops and one NHC chain across jobs, which the honest
         # per-job-scalars version cannot share.  Default off.
+        # reax job programs are far heavier per job than lj/opls/sw (the
+        # dense bond-order field materializes (N,N) and (N,K,K,K) grad
+        # residuals every step); wide vmaps fault the axon device — a
+        # 64-job x 176-atom batch crashed the worker where 16 jobs ran
+        # fine.  Keep jobs x atoms per scan chunk bounded.
+        chunk = 64
+        if mspec.force_field == "reax":
+            chunk = max(1, min(64, 4096 // max(sys.n_atoms, 1)))
         backends.append(MDBackend(
             sys=sys, params=params, ensemble=ens, n_repl=n_repl,
             max_jobs=max_jobs, initial_md_state=st0, device_mesh=device_mesh,
-            pack_jobs=1,
+            pack_jobs=1, job_chunk=chunk,
         ))
         sc, rc = bridge.average_replica_data(ens)
         stiff_rows.append(sc[0])

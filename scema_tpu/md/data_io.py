@@ -39,6 +39,15 @@ class MolecularData:
 
 
 def read_data(path: str) -> MolecularData:
+    """Parse a LAMMPS data file (read_data format).
+
+    Atom styles ``full`` (OPLS scripts), ``charge`` (reax scripts:
+    lammps_scripts_reax/in.set.lammps ``atom_style charge``), and
+    ``atomic`` are auto-detected from the Atoms row width; optional
+    image-flag columns are accepted and ignored (positions are used
+    min-image).  ``molecular`` style (6 columns, no charge) is NOT
+    distinguishable from ``charge`` by width and is not supported.
+    """
     with open(path) as f:
         lines = f.read().splitlines()
 
@@ -102,11 +111,31 @@ def read_data(path: str) -> MolecularData:
     pos = np.zeros((n, 3))
     types = np.zeros(n, dtype=np.int32)
     charges = np.zeros(n)
-    for row in sections.get("Atoms", []):
+    atom_rows = sections.get("Atoms", [])
+    # atom_style detection by column count (the style comment on the
+    # section header is stripped with all other comments above):
+    #   atomic: id type x y z            -> 5 (+3 image ints -> 8)
+    #   charge: id type q x y z          -> 6 (+3 -> 9)   [reax files]
+    #   full:   id mol type q x y z      -> 7 (+3 -> 10)
+    # the six counts are disjoint, so the width identifies the style.
+    if atom_rows:
+        ncol = len(atom_rows[0])
+        style = {5: "atomic", 8: "atomic", 6: "charge", 9: "charge",
+                 7: "full", 10: "full"}.get(ncol)
+        if style is None:
+            raise ValueError(
+                f"unrecognized Atoms row width {ncol} in {path!r} "
+                "(supported atom styles: atomic, charge, full)")
+        t_col = 1 if style in ("atomic", "charge") else 2
+        q_col = None if style == "atomic" else t_col + 1
+        x_col = t_col + 1 if q_col is None else q_col + 1
+    for row in atom_rows:
         aid = int(row[0]) - 1
-        types[aid] = int(row[2]) - 1
-        charges[aid] = float(row[3])
-        pos[aid] = [float(row[4]), float(row[5]), float(row[6])]
+        types[aid] = int(row[t_col]) - 1
+        if q_col is not None:
+            charges[aid] = float(row[q_col])
+        pos[aid] = [float(row[x_col]), float(row[x_col + 1]),
+                    float(row[x_col + 2])]
     pos -= lo[None, :]
 
     vel = None

@@ -223,6 +223,46 @@ class TestEngine:
         with pytest.raises(ValueError, match="reax_ffield"):
             M.build_system(spec, dtype=jnp.float64)
 
+    def test_charge_style_data_file(self, tmp_path):
+        # the reax scripts use `atom_style charge` (in.set.lammps):
+        # Atoms rows are `id type q x y z` — 6 columns, no molecule id
+        content = """LAMMPS data, atom_style charge
+
+4 atoms
+2 atom types
+
+0.0 30.0 xlo xhi
+0.0 30.0 ylo yhi
+0.0 30.0 zlo zhi
+
+Masses
+
+1 12.011
+2 1.008
+
+Atoms
+
+1 1 -0.2 10.0 10.0 10.0
+2 2 0.1 11.09 10.0 10.0
+3 2 0.1 9.45 11.0 10.0
+4 2 0.0 9.45 9.2 10.6
+"""
+        p = tmp_path / "reax.data"
+        p.write_text(content)
+        from scema_tpu.md import data_io
+
+        d = data_io.read_data(str(p))
+        assert (d.types == [0, 1, 1, 1]).all()
+        assert np.isclose(d.charges[0], -0.2)
+        assert np.allclose(d.pos[1], [11.09, 10.0, 10.0])
+        spec = M.MaterialSpec(name="frag", force_field="reax",
+                              data_file=str(p), reax_ffield=FFIELD,
+                              validate=False)
+        sys_, st = M.build_system(spec, dtype=jnp.float64)
+        # element identity from masses: C H H H
+        assert list(np.asarray(sys_.ff.types)) == [1, 0, 0, 0]
+        assert np.isfinite(float(sys_.ff.energy(st.pos, st.h)))
+
     def test_reference_reax_config_resolves(self):
         # inputs_dogbone_file3D.json: scripts './lammps_scripts_reax',
         # force field 'reax' -> effective field + located ffield.reax.2
