@@ -138,20 +138,20 @@ def bench_md_allatom():
     in.strain.lammps) — through the fused production path."""
     from scema_tpu.md import material as M
 
-    spec = M.MaterialSpec(name="peaa", force_field="opls", allatom=True,
-                          n_chains=56, chain_length=10, pe_density=0.68,
-                          opls_lj_cutoff=12.0, opls_coul_cutoff=9.0,
-                          use_ewald=True, kspace_every=10)
-    return _bench_throughput(spec, n_jobs=32, n_steps=100, dt=1.0)
+    return _bench_throughput(_allatom_spec(), n_jobs=32, n_steps=100,
+                             dt=1.0)
 
 
 def _allatom_spec():
     from scema_tpu.md import material as M
 
+    # kspace="pme": the mesh method IS the reference's kspace_style pppm,
+    # and it measures ~9% faster than the dense structure-factor sum at
+    # this size in the chunked-grad context (scripts/probe_allatom.py E)
     return M.MaterialSpec(name="peaa", force_field="opls", allatom=True,
                           n_chains=56, chain_length=10, pe_density=0.68,
                           opls_lj_cutoff=12.0, opls_coul_cutoff=9.0,
-                          use_ewald=True, kspace_every=10)
+                          use_ewald=True, kspace_every=10, kspace="pme")
 
 
 def bench_hmm_allatom():

@@ -77,6 +77,9 @@ class MaterialSpec:
     # [Ewald total - plain cut], far slower-varying than LAMMPS respa's
     # frozen recip term)
     kspace_every: int = 10
+    # reciprocal-sum backend: 'auto' (dense Ewald below 2048 atoms, PME
+    # above — data_io.to_opls), 'ewald', or 'pme'
+    kspace: str = "auto"
     # sw extras: fused Pallas brick kernels (ops/sw_pallas.py) — the
     # big-box force path (wins beyond ~10k atoms)
     use_pallas_bricks: bool = False
@@ -158,47 +161,57 @@ def _session_platform() -> str:
         _SESSION_PLATFORM = jax.default_backend()
     return _SESSION_PLATFORM
 
-def _build_kspace_split(ff, Wq, n: int, dtype):
+def _build_kspace_split(ff, n: int, dtype):
     """Smooth-remainder Coulomb force/virial for the fused kspace split.
 
-    The fused kernel computes the PLAIN cut coulomb sum (qq w / r,
-    r < rc).  The exact Ewald/PME total differs from it by the SMOOTH
-    remainder
+    The fused kernel computes the EXACT weighted real-space Ewald sum
+    every step — qq w erfc(a r)/r for r < rc, via FusedSpec.ewald_alpha
+    (LAMMPS pair_lj_cut_coul_long's pair expression).  The exact
+    Ewald/PME total (opls.OPLSFF.energy's real + recip + self + corr
+    decomposition, opls.py:107-141) then differs from the kernel's sum
+    by only the genuinely smooth remainder
 
-        e_smooth = recip(pos, h) - sum_{r<rc} wq qq erf(a r)/r
-                   - sum_excl (1 - wq) qq erf(a r)/r
+        e_smooth = recip(pos, h) - sum_excl (1 - wq) qq erf(a r)/r
 
-    (reference physics: kspace_style pppm, in.set.lammps; the identity
-    follows from erfc = 1 - erf applied to opls.OPLSFF.energy's real +
-    recip + corr decomposition, opls.py:107-141).  erf(a r)/r is analytic
-    and bounded, so the remainder force varies on the 1/a length scale —
-    far slower than any real-space force — making it the ideal frozen
-    rRESPA outer level.  Both sums run as dense (N, N) XLA expressions
-    (no neighbor list); force is -grad, virial the upper-triangular
-    strain derivative -dE/dF (exact for central+mesh forces).
+    (self-energy is position-independent and drops under grad).  The
+    excluded-pair correction runs over the SPARSE bonded-topology pair
+    list (~3 pairs/atom), not a dense (N, N) field — re-evaluating the
+    remainder between fused chunks costs one reciprocal-sum gradient
+    plus an O(P) gather, which is what lets kspace_every chunks stay
+    cheap (the previous dense-(N,N)-erf remainder cost ~47 ms/eval at
+    32 x 1792 atoms and dominated the charged production path).  Force
+    is -grad, virial the upper-triangular strain derivative -dE/dF
+    (exact for central+mesh forces).
     """
     from . import box as Bx
 
     ew = ff.ewald
     alpha = float(ew.alpha)
-    rc2 = float(ff.coul_cutoff) ** 2
     q = np.asarray(ff.charges, dtype=np.float64)
-    qq = float(ew.qqr2e) * q[:, None] * q[None, :]
-    A = np.asarray(Wq)  # special-coul weights, zero diagonal
-    Bm = (1.0 - A)  # exclusion remainder weights
-    np.fill_diagonal(Bm, 0.0)
-    qqA = jnp.asarray(qq * A, dtype)
-    qqB = jnp.asarray(qq * Bm, dtype)
-    eye = np.eye(n, dtype=bool)
+    excl = np.asarray(ff.excl)  # (N, 3, max), -1 padded
+    pi, pj, pw = [], [], []
+    for order in range(3):
+        wfac = 1.0 - float(ff.special_coul[order])
+        if wfac == 0.0:
+            continue
+        for i in range(n):
+            for jx in excl[i, order]:
+                if jx > i:  # undirected pairs once (lists are symmetric)
+                    pi.append(i)
+                    pj.append(int(jx))
+                    pw.append(wfac)
+    if not pi:  # no excluded pairs: one dead pair keeps shapes static
+        pi, pj, pw = [0], [min(1, n - 1)], [0.0]
+    ei = jnp.asarray(pi, jnp.int32)
+    ej = jnp.asarray(pj, jnp.int32)
+    cpair = jnp.asarray(
+        float(ew.qqr2e) * np.asarray(pw) * q[pi] * q[pj], dtype)
 
     def e_smooth(pos, h):
-        dr = Bx.min_image_disp(h, pos[None, :, :] - pos[:, None, :])
-        r2 = jnp.sum(dr * dr, axis=-1)
-        r = jnp.sqrt(jnp.where(eye, 1.0, r2))
-        erf_r = jax.scipy.special.erf(alpha * r) / r
-        pair = jnp.where(r2 < rc2, qqA * erf_r, 0.0) + qqB * erf_r
-        return ew.reciprocal_energy(pos, h) - 0.5 * jnp.sum(
-            jnp.where(eye, 0.0, pair))
+        d = Bx.min_image_disp(h, pos[ej] - pos[ei])
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        corr = -jnp.sum(cpair * jax.scipy.special.erf(alpha * r) / r)
+        return ew.reciprocal_energy(pos, h) + corr
 
     def kspace_fn(pos, h):
         return -jax.grad(e_smooth)(pos, h)
@@ -370,12 +383,17 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
             np.fill_diagonal(Wq, 0.0)
             q = np.asarray(qq_table)
             dense_qq = dense(q[:, None] * q[None, :] * Wq)
-        kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True})
+        kspec = MFU.FusedSpec(**{
+            **kspec.__dict__, "allpairs": True,
+            # kspace systems: exact weighted erfc real space in-kernel
+            # (see _build_kspace_split — the frozen remainder is then
+            # only recip + excluded-pair erf)
+            "ewald_alpha": float(ff.ewald.alpha) if has_kspace else 0.0,
+        })
 
     kspace_fn = kspace_virial_fn = None
     if has_kspace and allpairs:
-        kspace_fn, kspace_virial_fn = _build_kspace_split(
-            ff, Wq, n, dtype)
+        kspace_fn, kspace_virial_fn = _build_kspace_split(ff, n, dtype)
     return MFU.FusedRunner(
         spec=kspec,
         nspec=nspec,
@@ -562,7 +580,7 @@ def _build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.
         ff = data_io.to_opls(
             data, lj_cutoff=spec.opls_lj_cutoff,
             coul_cutoff=spec.opls_coul_cutoff,
-            use_ewald=spec.use_ewald, dtype=dtype,
+            use_ewald=spec.use_ewald, dtype=dtype, kspace=spec.kspace,
         )
         n = len(data.pos)
         cutoff = ff.cutoff

@@ -138,6 +138,17 @@ class FusedSpec:
     # outer level (LAMMPS run_style respa's kspace slot) with the split
     # total = [plain cut coulomb, in kernel] + [smooth remainder, frozen]
     fext: bool = False
+    # Ewald real-space splitting parameter: > 0 switches the in-kernel
+    # Coulomb pair force from plain cut (qq/r^2) to the damped erfc form
+    # qq (erfc(a r)/r + 2a/sqrt(pi) exp(-a^2 r^2)) / r^2 — LAMMPS
+    # pair_lj_cut_coul_long's EWALD_F expression (pair_lj_cut_coul_long
+    # .cpp), with erfc by the Abramowitz-Stegun 7.1.26 polynomial that
+    # shares the pair's exp.  With this the kernel computes the EXACT
+    # weighted real-space Ewald sum every step and the frozen fext
+    # remainder shrinks to [reciprocal + excluded-pair erf correction] —
+    # the genuinely smooth part (no dense (N, N) erf term re-evaluated
+    # per chunk).  All-pairs mode only.
+    ewald_alpha: float = 0.0
 
 
 # topo channel rows (chain-structured bonded terms; term k starts at atom k)
@@ -150,6 +161,10 @@ _T_ATH0 = 5
 _T_DMASK = 6  # dihedral (i, i+1, i+2, i+3)
 _T_DK1 = 7  # 7..10: OPLS K1..K4
 _TOPO = 16
+
+
+# 2/sqrt(pi) — LAMMPS pair_lj_cut_coul_long's EWALD_F
+_EWALD_F = 1.12837916709551257
 
 
 def _asin_poly(x):
@@ -733,6 +748,11 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
     NT, K = spec.nt, spec.k
     P = NT  # gather passes (full-table window)
     kb, ftm2v, nktv2p = spec.boltz, spec.ftm2v, spec.nktv2p
+    # the erfc real-space form is only wired into the all-pairs pair loop
+    # (the gather list path never carries a kspace split — material.py
+    # gates kspace systems to all-pairs boxes)
+    assert spec.ewald_alpha == 0.0 or spec.allpairs, \
+        "ewald_alpha is an all-pairs mechanism"
 
     def gather3(px, py, pz, idx_t):
         """Gather 3 position channels for one center tile's slot indices."""
@@ -1046,8 +1066,23 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     fpair = jnp.where(live, (lj1 * u3 - lj2) * u2 * u2, 0.0)
                     if spec.coul:
                         qq = qq_ref[0][sl]
+                        if spec.ewald_alpha > 0.0:
+                            # damped real-space Ewald (see FusedSpec
+                            # .ewald_alpha): F/r = qq (erfc(x)/r
+                            # + EWALD_F a e^{-x^2}) / r^2, x = a r
+                            a = spec.ewald_alpha
+                            x = a * (r2c * inv_r)
+                            ex = jnp.exp(-x * x)
+                            tt_ = 1.0 / (1.0 + 0.3275911 * x)
+                            erfc = tt_ * ex * (0.254829592 + tt_ * (
+                                -0.284496736 + tt_ * (1.421413741 + tt_ * (
+                                    -1.453152027 + tt_ * 1.061405429))))
+                            fcoul = qq * inv_r2 * (
+                                erfc * inv_r + _EWALD_F * a * ex)
+                        else:
+                            fcoul = qq * inv_r * inv_r2
                         fpair = fpair + jnp.where(
-                            r2 < spec.coul_cutoff2, qq * inv_r * inv_r2, 0.0)
+                            r2 < spec.coul_cutoff2, fcoul, 0.0)
                     wx = fpair * dx
                     wy = fpair * dy
                     wz = fpair * dz

@@ -35,24 +35,49 @@ def test_allatom_fused_runner_built():
 
 
 def test_kspace_split_identity():
-    """kspace_fn is EXACTLY [Ewald total - plain cut] coulomb forces:
-    -grad(ff.energy) + grad(ff_cut.energy) == kspace_fn (the LJ + bonded
-    parts cancel bitwise)."""
+    """The fused kspace split: the kernel computes the exact weighted
+    real-space erfc sum (FusedSpec.ewald_alpha) and kspace_fn carries
+    only the smooth remainder [recip + excluded-pair erf correction].
+    Two identities, both against independent machinery:
+
+    1. kspace_fn == -grad(recip + excluded_correction) (coulomb.py's
+       Ewald methods vs material.py's sparse pair list — COMMON uses the
+       default special_coul (0,0,0), where the full subtraction applies);
+    2. real-space erfc forces + kspace_fn == the exact Ewald coulomb
+       forces (charge-zeroed ff difference isolates coulomb)."""
     spec = M.MaterialSpec(**COMMON, use_fused=True, use_ewald=True)
     sys_f, st = M.build_system(spec)
     r = sys_f.fused
     assert r.kspace_fn is not None and r.spec.fext
+    assert r.spec.ewald_alpha > 0.0
     ff = sys_f.ff
-    ff_cut = dataclasses.replace(ff, ewald=None)
+    ew = ff.ewald
+    n = int(st.pos.shape[0])
     rng = np.random.default_rng(2)
     pos = st.pos + jnp.asarray(0.05 * rng.normal(size=st.pos.shape))
-    nbr = NB.build(sys_f.nspec, pos, st.h)
-
-    F_diff = -jax.grad(lambda p: ff.energy(p, st.h, nbr)
-                       - ff_cut.energy(p, st.h, nbr))(pos)
     F_k = r.kspace_fn(pos, st.h)
-    scale = float(jnp.abs(F_diff).max()) + 1e-30
-    assert float(jnp.abs(F_k - F_diff).max()) < 1e-9 * scale
+
+    # (1) remainder identity
+    excl_flat = jnp.asarray(np.asarray(ff.excl).reshape(n, -1))
+    mask = excl_flat >= 0
+    idx_safe = jnp.maximum(excl_flat, 0)
+    F_twin = -jax.grad(
+        lambda p: ew.reciprocal_energy(p, st.h)
+        + ew.excluded_correction(p, st.h, idx_safe, mask))(pos)
+    scale = float(jnp.abs(F_twin).max()) + 1e-30
+    assert float(jnp.abs(F_k - F_twin).max()) < 1e-9 * scale
+
+    # (2) total-coulomb identity: erfc real space + remainder == exact
+    nbr = NB.build(sys_f.nspec, pos, st.h)
+    wq = ff._pair_weights(nbr, ff.special_coul)
+    F_real = -jax.grad(
+        lambda p: ew.real_space_energy(p, st.h, nbr, weights=wq))(pos)
+    ff_q0 = dataclasses.replace(
+        ff, charges=jnp.zeros_like(ff.charges), ewald=None)
+    F_coul = -jax.grad(lambda p: ff.energy(p, st.h, nbr)
+                       - ff_q0.energy(p, st.h, nbr))(pos)
+    scale = float(jnp.abs(F_coul).max()) + 1e-30
+    assert float(jnp.abs(F_real + F_k - F_coul).max()) < 1e-7 * scale
 
 
 def test_allatom_shake_patterns_fused_matches_xla():
