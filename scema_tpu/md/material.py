@@ -753,8 +753,11 @@ def equilibrate(
     """Minimize then thermalize (the in.init.lammps prep, simplified: the
     staged NPT heatup/cooldown cycle becomes FIRE + NVT at the target
     temperature; box stays at the lattice volume)."""
-    state = jax.jit(lambda s: E.minimize_fire(sys, s, n_steps=minimize_steps,
-                                              dt0=0.5))(state)
+    # dt0 is force-field-aware: stiff reactive fields declare a smaller
+    # stable FIRE step (forcefields/reax.py fire_dt0)
+    state = jax.jit(lambda s: E.minimize_fire(
+        sys, s, n_steps=minimize_steps,
+        dt0=getattr(sys.ff, "fire_dt0", 0.5)))(state)
     vel = E.maxwell_velocities(sys, key, max(params.temperature, 1e-6),
                                dtype=state.pos.dtype)
     state = state._replace(vel=vel)
@@ -779,7 +782,8 @@ def equilibrate_staged(
     scales all stage lengths like the script's ``nsinit``."""
     T = params.temperature
     dt = params.dt
-    state = E.minimize_fire(sys, state, n_steps=minimize_steps, dt0=0.5)
+    state = E.minimize_fire(sys, state, n_steps=minimize_steps,
+                            dt0=getattr(sys.ff, "fire_dt0", 0.5))
     state = state._replace(
         vel=E.maxwell_velocities(sys, key, 200.0, dtype=state.pos.dtype)
     )

@@ -138,6 +138,31 @@ def test_allatom_kspace_fused_close_to_xla():
                        atol=5e4)
 
 
+def test_allatom_kspace_every10_accuracy():
+    """The PRODUCTION freeze interval (kspace_every=10): freezing the
+    [recip + excluded-pair erf] remainder for 10 steps must track the
+    per-step-remainder run closely — the frozen part is the genuinely
+    smooth Ewald component, so 10-step staleness is a tiny perturbation
+    (this is what justifies the production default)."""
+    c = dict(COMMON, use_ewald=True)
+    sys_1, st = M.build_system(M.MaterialSpec(**c, use_fused=True,
+                                              kspace_every=1))
+    sys_10, _ = M.build_system(M.MaterialSpec(**c, use_fused=True,
+                                              kspace_every=10))
+    st = E.minimize_fire(sys_1, st, n_steps=200, dt0=0.25)
+    st = st._replace(vel=E.maxwell_velocities(sys_1, jax.random.PRNGKey(7),
+                                              50.0))
+    params = MDParams(temperature=50.0, dt=0.5, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, 0.0, -0.01, 0.0, 0.0, 0.002])
+    out_1, sig_1 = strain_and_homogenize(sys_1, st, dl, params)
+    out_10, sig_10 = strain_and_homogenize(sys_10, st, dl, params)
+    assert np.allclose(np.asarray(out_10.pos), np.asarray(out_1.pos),
+                       atol=2e-3)
+    assert np.allclose(np.asarray(sig_10), np.asarray(sig_1), rtol=0.02,
+                       atol=1e5)
+
+
 def test_allatom_inactive_job_noop():
     """dt = 0 padding jobs stay bit-exact no-ops with SHAKE in-kernel
     (the projection is gated on a live dt)."""

@@ -263,6 +263,41 @@ Atoms
         assert list(np.asarray(sys_.ff.types)) == [1, 0, 0, 0]
         assert np.isfinite(float(sys_.ff.energy(st.pos, st.h)))
 
+    def test_reax_hmm_coupled_step(self):
+        """End-to-end: a dogbone HMM macro-step with ReaxFF MD at every
+        flagged qp (the reference's inputs_dogbone_file3D.json class —
+        reax scripts drive the microscale, stmd_problem.h:83-383)."""
+        from scema_tpu.config import HMMConfig
+        from scema_tpu.hmm.md_coupling import build_md_hmm
+
+        cfg = HMMConfig()
+        cfg = cfg.replace(
+            mesh=cfg.mesh.__class__(x_cells=1, y_cells=1, z_cells=2),
+            time=cfg.time.__class__(timestep_length=5.0e-7,
+                                    start_timestep=1, end_timestep=2),
+            bridging=cfg.bridging.__class__(
+                stress_method=0, approx_md_with_hookes_law=False),
+            material=cfg.material.__class__(
+                number_of_replicas=1, materials=("rx",),
+                proportions=(1.0,)),
+            md=cfg.md.__class__(temperature=10.0, timestep_length=0.1,
+                                strain_rate=1.0e-2, nsteps_sample=5,
+                                force_field="reax"),
+            dtype="float32",
+            md_dtype="float32",
+        )
+        spec = M.MaterialSpec(name="rx", force_field="reax", n_chains=4,
+                              chain_length=2, pe_density=0.25,
+                              validate=False, reax_ffield=FFIELD)
+        hmm = build_md_hmm(cfg, spec=spec, equil_steps=0,
+                           minimize_steps=5)
+        carry = hmm.init_state()
+        carry, out = jax.jit(hmm.step)(carry)
+        assert int(out.n_jobs) > 0
+        fe = carry[0]
+        assert bool(jnp.isfinite(fe.u).all())
+        assert bool(jnp.isfinite(fe.qp.new_stress).all())
+
     def test_reference_reax_config_resolves(self):
         # inputs_dogbone_file3D.json: scripts './lammps_scripts_reax',
         # force field 'reax' -> effective field + located ffield.reax.2
