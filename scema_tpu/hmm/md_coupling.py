@@ -562,10 +562,12 @@ def build_md_hmm(
         # dense bond-order field materializes (N,N) and (N,K,K,K) grad
         # residuals every step); wide vmaps fault the axon device — a
         # 64-job x 176-atom batch crashed the worker where 16 jobs ran
-        # fine.  Keep jobs x atoms per scan chunk bounded.
+        # fine.  Keep TOTAL jobs x atoms per device program bounded:
+        # the update fn vmaps (chunk, n_repl), so replicas multiply in.
         chunk = 64
         if mspec.force_field == "reax":
-            chunk = max(1, min(64, 4096 // max(sys.n_atoms, 1)))
+            chunk = max(1, min(
+                64, 4096 // max(sys.n_atoms * max(n_repl, 1), 1)))
         backends.append(MDBackend(
             sys=sys, params=params, ensemble=ens, n_repl=n_repl,
             max_jobs=max_jobs, initial_md_state=st0, device_mesh=device_mesh,

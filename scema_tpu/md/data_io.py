@@ -136,6 +136,16 @@ def read_data(path: str) -> MolecularData:
             charges[aid] = float(row[q_col])
         pos[aid] = [float(row[x_col]), float(row[x_col + 1]),
                     float(row[x_col + 2])]
+    if atom_rows and (types.min() < 0 or types.max() >= ntypes):
+        # the molecular style (id mol type x y z [+images]) collides with
+        # charge's column widths; its mol-id lands in our type column and
+        # usually exceeds the declared type count — fail loudly instead
+        # of silently producing garbage types/charges
+        raise ValueError(
+            f"{path!r}: atom type {types.max() + 1} out of range "
+            f"(1..{ntypes}) — if this is an atom_style 'molecular' file "
+            "it is indistinguishable from 'charge' by column count and "
+            "is not supported")
     pos -= lo[None, :]
 
     vel = None

@@ -9,13 +9,15 @@ toggling one mechanism at a time on the same 1792-atom box:
   B  + SHAKE              (use_ewald=False, shake=True)
   C  + kspace, 1 chunk    (use_ewald=True, kspace_every=100)
   D  + kspace, 10 chunks  (use_ewald=True, kspace_every=10; bench point)
+  E  = D with PME recip   (kspace="pme" instead of the dense Ewald sum)
 
-Run:  python scripts/probe_allatom.py [A B C D ...]
+Run:  python scripts/probe_allatom.py [A B C D E ...]   (default: all)
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def throughput(tag, **kw):

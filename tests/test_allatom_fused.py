@@ -143,15 +143,16 @@ def test_erfc_poly_accuracy():
     fused coul branch evaluates) vs scipy erfc over the physical range
     [0, alpha*rc]: |abs err| <= 1e-6 (the A&S f64 bound is 1.5e-7; f32
     evaluation adds rounding to ~5e-7, measured max 4.8e-7 at x=0.046 —
-    far below the f32 force noise floor either way)."""
+    far below the f32 force noise floor either way).  Imports the SAME
+    function the fused coul branch calls, not a private copy."""
     from scipy.special import erfc as erfc_ref
 
-    x = np.linspace(0.0, 4.0, 4001, dtype=np.float32)
-    ex = np.exp(-x * x)
-    t = (1.0 / (1.0 + np.float32(0.3275911) * x)).astype(np.float32)
-    poly = t * ex * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    assert float(np.abs(poly - erfc_ref(x.astype(np.float64))).max()) < 1e-6
+    from scema_tpu.ops.md_fused import erfc_poly
+
+    x = jnp.linspace(0.0, 4.0, 4001, dtype=jnp.float32)
+    poly = np.asarray(erfc_poly(x, jnp.exp(-x * x)))
+    xref = np.asarray(x).astype(np.float64)
+    assert float(np.abs(poly - erfc_ref(xref)).max()) < 1e-6
 
 
 def test_allatom_kspace_every10_accuracy():
