@@ -352,24 +352,24 @@ class ReaxFFDense:
         b3 = Gk[idx][:, :, None, :, :]
         n1 = jnp.cross(b1, b2)
         n2 = jnp.cross(b2, b3)
-        n1n = jnp.sqrt(jnp.sum(n1 * n1, -1) + 1e-20)
-        n2n = jnp.sqrt(jnp.sum(n2 * n2, -1) + 1e-20)
-        # denominators are clamped (NOT just the 1e-20 sqrt guard):
-        # degenerate quadruples (duplicate top-K slots, collinear bonds)
-        # give den ~ 1e-20, whose f32 backward computes -g/den^2 with
-        # den^2 flushed to zero — 0 * (g/0) = NaN poisons the whole
-        # force even though every such entry is masked out of the energy
-        # (measured on the ethane melt; the where-mask does not protect
-        # the cotangent path).  1e-12 keeps den^2 in normal f32 range.
-        cos_w = jnp.clip(
-            jnp.sum(n1 * n2, -1) / jnp.maximum(n1n * n2n, 1e-12),
-            -1.0, 1.0)
+        # the sqrt guards are 1e-12, NOT the usual 1e-20: degenerate
+        # quadruples (duplicate top-K slots, collinear bonds) otherwise
+        # give denominators ~ 1e-20 whose f32 backward computes
+        # -g/den^2 with den^2 flushed/subnormal — 0 * (g/0) = NaN
+        # poisons the whole force even though every such entry is masked
+        # out of the energy (measured on the ethane melt; the where-mask
+        # does not protect the cotangent path).  1e-12 keeps every
+        # denominator square in normal f32 range and is invisible
+        # against physical norms (~1 A^2).
+        n1n = jnp.sqrt(jnp.sum(n1 * n1, -1) + 1e-12)
+        n2n = jnp.sqrt(jnp.sum(n2 * n2, -1) + 1e-12)
+        cos_w = jnp.clip(jnp.sum(n1 * n2, -1) / (n1n * n2n), -1.0, 1.0)
         # sin(theta_ijk), sin(theta_jkl) from the cross products
-        b1n = jnp.sqrt(jnp.sum(b1 * b1, -1) + 1e-20)
-        b2n = jnp.sqrt(jnp.sum(b2 * b2, -1) + 1e-20)
-        b3n = jnp.sqrt(jnp.sum(b3 * b3, -1) + 1e-20)
-        sin_ijk = n1n / jnp.maximum(b1n * b2n, 1e-12)
-        sin_jkl = n2n / jnp.maximum(b2n * b3n, 1e-12)
+        b1n = jnp.sqrt(jnp.sum(b1 * b1, -1) + 1e-12)
+        b2n = jnp.sqrt(jnp.sum(b2 * b2, -1) + 1e-12)
+        b3n = jnp.sqrt(jnp.sum(b3 * b3, -1) + 1e-12)
+        sin_ijk = n1n / (b1n * b2n)
+        sin_jkl = n2n / (b2n * b3n)
         tor_ok = tor_ok & (sin_ijk > MIN_SINE) & (sin_jkl > MIN_SINE)
 
         def exp_t2(bo_):

@@ -14,6 +14,20 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The XLA CPU compiler recurses deeply on the reax autodiff graphs
+# (dense bond-order field: the virial transpose is thousands of ops
+# deep) and can overflow the default 8 MB main-thread stack as a hard
+# SIGSEGV in backend_compile_and_load — observed late in full-suite
+# runs where memory layout differs from standalone runs.  The hard
+# limit is unlimited here, so raise the soft limit for the test
+# process.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _hard == resource.RLIM_INFINITY and _soft != resource.RLIM_INFINITY:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
