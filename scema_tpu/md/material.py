@@ -94,6 +94,11 @@ class MaterialSpec:
     # loops; None = auto (on for TPU backends, off on CPU where the
     # kernel would run interpreted)
     use_fused: bool | None = None
+    # skip the all-pairs mode even when the box fits its VMEM gate, so
+    # the gather-list kernel path can be exercised at test-friendly
+    # sizes (production leaves this False; the gate picks all-pairs
+    # whenever it fits because it is ~10x faster)
+    force_list_kernel: bool = False
     # reax extras (force_field="reax"): ffield.reax path, pair_coeff
     # element order (in.set.lammps: `pair_coeff * * ${locf} H C N O`),
     # charge equilibration on/off, bonded-neighbor gather width
@@ -319,6 +324,10 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
         bonded_pattern=patterns,
         shake_offsets=shake_offsets,
         fext=has_kspace,
+        # kspace systems run the exact weighted erfc real space in-kernel
+        # on BOTH pair paths (all-pairs and gather-list); the frozen
+        # remainder is only [recip + excluded-pair erf]
+        ewald_alpha=float(ff.ewald.alpha) if has_kspace else 0.0,
         interpret=_session_platform() == "cpu",
     )
     packed = _runner_pair_classes(
@@ -344,10 +353,11 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
     dense_lj1 = dense_lj2 = dense_qq = None
     npad = MFU.pad_n(n)
     planes = 5 + (1 if qq_table is not None else 0)
-    allpairs = planes * npad * npad * 4 <= 81 * 1024 * 1024
-    if not allpairs and (has_kspace or patterns or shake_offsets):
-        return None  # kspace split / patterns / roll-SHAKE are
-        # all-pairs-only mechanisms; bigger boxes take the XLA path
+    allpairs = (planes * npad * npad * 4 <= 81 * 1024 * 1024
+                and not spec.force_list_kernel)
+    # boxes beyond the all-pairs VMEM gate run the gather-list kernel
+    # with the SAME in-kernel mechanisms: erfc kspace split (remainder
+    # rides the rebuild cadence), offset-pattern bonded, roll-SHAKE
     if allpairs:
         ti = np.asarray(types)[:, None]
         tj = np.asarray(types)[None, :]
@@ -383,16 +393,10 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
             np.fill_diagonal(Wq, 0.0)
             q = np.asarray(qq_table)
             dense_qq = dense(q[:, None] * q[None, :] * Wq)
-        kspec = MFU.FusedSpec(**{
-            **kspec.__dict__, "allpairs": True,
-            # kspace systems: exact weighted erfc real space in-kernel
-            # (see _build_kspace_split — the frozen remainder is then
-            # only recip + excluded-pair erf)
-            "ewald_alpha": float(ff.ewald.alpha) if has_kspace else 0.0,
-        })
+        kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True})
 
     kspace_fn = kspace_virial_fn = None
-    if has_kspace and allpairs:
+    if has_kspace:
         kspace_fn, kspace_virial_fn = _build_kspace_split(ff, n, dtype)
     return MFU.FusedRunner(
         spec=kspec,

@@ -759,11 +759,9 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
     NT, K = spec.nt, spec.k
     P = NT  # gather passes (full-table window)
     kb, ftm2v, nktv2p = spec.boltz, spec.ftm2v, spec.nktv2p
-    # the erfc real-space form is only wired into the all-pairs pair loop
-    # (the gather list path never carries a kspace split — material.py
-    # gates kspace systems to all-pairs boxes)
-    assert spec.ewald_alpha == 0.0 or spec.allpairs, \
-        "ewald_alpha is an all-pairs mechanism"
+    # the erfc real-space form is wired into BOTH pair loops (all-pairs
+    # tile blocks and the gather list path) — kspace systems above the
+    # all-pairs VMEM gate run the list kernel with the same split
 
     def gather3(px, py, pz, idx_t):
         """Gather 3 position channels for one center tile's slot indices."""
@@ -1173,7 +1171,17 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     qq = qq_ref[0, :, t, :]
                     livec = (r2 < spec.coul_cutoff2) & (r2 > spec.r2min)
                     inv_r = jax.lax.rsqrt(r2c)
-                    fpair = fpair + jnp.where(livec, qq * inv_r * inv_r2, 0.0)
+                    if spec.ewald_alpha > 0.0:
+                        # damped real-space Ewald, same expression as the
+                        # all-pairs branch (see FusedSpec.ewald_alpha)
+                        a = spec.ewald_alpha
+                        x = a * (r2c * inv_r)
+                        ex = jnp.exp(-x * x)
+                        fcoul = qq * inv_r2 * (
+                            erfc_poly(x, ex) * inv_r + _EWALD_F * a * ex)
+                    else:
+                        fcoul = qq * inv_r * inv_r2
+                    fpair = fpair + jnp.where(livec, fcoul, 0.0)
                 fxs.append(-jnp.sum(fpair * dx, axis=0))
                 fys.append(-jnp.sum(fpair * dy, axis=0))
                 fzs.append(-jnp.sum(fpair * dz, axis=0))
@@ -1865,6 +1873,10 @@ class FusedRunner:
                            k_pad=self.spec.k)
         if self.topo is not None:
             ch["topo"] = self.topo.astype(pos.dtype)
+        if self.pat_rows is not None:
+            ch["pat"] = self.pat_rows.astype(pos.dtype)
+        if self.shk_rows is not None:
+            ch["shk"] = self.shk_rows.astype(pos.dtype)
         return ch
 
     def _channels_packed(self, pos, h):
@@ -1892,6 +1904,10 @@ class FusedRunner:
         )
         if self.topo is not None:
             ch["topo"] = self.topo.astype(dtype)
+        if self.pat_rows is not None:
+            ch["pat"] = self.pat_rows.astype(dtype)
+        if self.shk_rows is not None:
+            ch["shk"] = self.shk_rows.astype(dtype)
         return ch
 
 
@@ -1982,6 +1998,11 @@ def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
         frac = gstep0.astype(dtype) / n_steps.astype(dtype)
         h_c = B.deform_path(h0, eps, frac)
         ch = runner.channels(pos, h_c)
+        if runner.kspace_fn is not None:
+            # list-path kspace split: the frozen smooth remainder rides
+            # the rebuild cadence (effective kspace_every = rebuild_every)
+            fk = runner.kspace_fn(pos, h_c)
+            ch = {**ch, "fext": pack_fext(fk, spec.n_atoms, dtype)}
         st8 = pack_state(pos, vel, runner.masses, spec.ftm2v, dtype=dtype)
         fscal = make_fscal(dt, T, h0, eps=eps, vxi=vxi, dtype=dtype)
         iscal = make_iscal(R, gstep0, n_steps)
@@ -2141,16 +2162,27 @@ def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
     dtype = state.pos.dtype
     h = state.h
 
+    hmat = jnp.asarray(h, dtype)
+    conv = spec.nktv2p / (hmat[0, 0] * hmat[1, 1] * hmat[2, 2])
+
     def chunk(carry, _):
         pos, vel, vxi = carry
         ch = runner.channels(pos, h)
+        wk = jnp.zeros((6,), dtype)
+        if runner.kspace_fn is not None:
+            # list-path kspace split: frozen remainder force per rebuild
+            # chunk; its virial joins the pressure accumulator here
+            fk = runner.kspace_fn(pos, h)
+            ch = {**ch, "fext": pack_fext(fk, spec.n_atoms, dtype)}
+            wk = runner.kspace_virial_fn(pos, h).astype(dtype)
         st8 = pack_state(pos, vel, runner.masses, spec.ftm2v, dtype=dtype)
         fscal = make_fscal(dt, T, h, vxi=vxi, dtype=dtype)
         iscal = make_iscal(R, 0, 1)
         st8, sacc = fused_chunk(spec, st8, ch, iscal, fscal,
                                 deform=False, sample=True)
         pos, vel = unpack_state(st8, spec.n_atoms)
-        return (pos, vel, sacc_vxi(sacc)), sacc_press(sacc)
+        pacc = sacc_press(sacc) + R * wk * conv
+        return (pos, vel, sacc_vxi(sacc)), pacc
 
     (pos, vel, vxi), accs = jax.lax.scan(
         chunk, (state.pos, state.vel, state.vxi), None, length=n_chunks
