@@ -28,6 +28,20 @@ if _hard == resource.RLIM_INFINITY and _soft != resource.RLIM_INFINITY:
     resource.setrlimit(resource.RLIMIT_STACK,
                        (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
 
+# A full-suite process accumulates thousands of LLVM-JIT'd executables
+# (every jit compile maps several executable pages); at the kernel
+# default vm.max_map_count=65530 the process eventually exhausts its
+# mmap budget and the NEXT large XLA CPU compile segfaults inside
+# backend_compile_and_load — a roving failure that lands on whichever
+# big compile comes late (observed on the reax virial and the staged
+# melt program; fresh processes always pass).  Raise the limit when
+# privileged (silent no-op otherwise); jax.clear_caches() at heavy
+# modules (tests/test_reax.py) is the in-process fallback.
+import subprocess as _sp
+
+_sp.run(["sysctl", "-w", "vm.max_map_count=1048576"],
+        check=False, capture_output=True)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
