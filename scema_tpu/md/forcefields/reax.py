@@ -352,6 +352,8 @@ class ReaxFFDense:
         b3 = Gk[idx][:, :, None, :, :]
         n1 = jnp.cross(b1, b2)
         n2 = jnp.cross(b2, b3)
+        s1 = jnp.sum(n1 * n1, -1)
+        s2 = jnp.sum(n2 * n2, -1)
         # the sqrt guards are 1e-12, NOT the usual 1e-20: degenerate
         # quadruples (duplicate top-K slots, collinear bonds) otherwise
         # give denominators ~ 1e-20 whose f32 backward computes
@@ -361,8 +363,8 @@ class ReaxFFDense:
         # does not protect the cotangent path).  1e-12 keeps every
         # denominator square in normal f32 range and is invisible
         # against physical norms (~1 A^2).
-        n1n = jnp.sqrt(jnp.sum(n1 * n1, -1) + 1e-12)
-        n2n = jnp.sqrt(jnp.sum(n2 * n2, -1) + 1e-12)
+        n1n = jnp.sqrt(s1 + 1e-12)
+        n2n = jnp.sqrt(s2 + 1e-12)
         cos_w = jnp.clip(jnp.sum(n1 * n2, -1) / (n1n * n2n), -1.0, 1.0)
         # sin(theta_ijk), sin(theta_jkl) from the cross products
         b1n = jnp.sqrt(jnp.sum(b1 * b1, -1) + 1e-12)
@@ -370,7 +372,12 @@ class ReaxFFDense:
         b3n = jnp.sqrt(jnp.sum(b3 * b3, -1) + 1e-12)
         sin_ijk = n1n / (b1n * b2n)
         sin_jkl = n2n / (b2n * b3n)
-        tor_ok = tor_ok & (sin_ijk > MIN_SINE) & (sin_jkl > MIN_SINE)
+        # MIN_SINE on the TRUE (unguarded) sines: sqrt(s)/(bb) > MIN_SINE
+        # <=> s > (MIN_SINE*bb)^2 — the guarded sin_ijk floors at ~4e-7
+        # for exactly-degenerate quadruples and would never trip the test
+        tor_ok = (tor_ok
+                  & (s1 > jnp.square(MIN_SINE * b1n * b2n))
+                  & (s2 > jnp.square(MIN_SINE * b2n * b3n)))
 
         def exp_t2(bo_):
             return 1.0 - jnp.exp(-T["p_tor2"] * bo_)

@@ -178,6 +178,16 @@ def erfc_poly(x, ex):
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
 
 
+def _ewald_fcoul(qq, r2c, inv_r, inv_r2, alpha):
+    """Damped real-space Ewald pair force factor (see
+    FusedSpec.ewald_alpha): F/r = qq (erfc(x)/r + EWALD_F a e^{-x^2})
+    / r^2 with x = a r — LAMMPS pair_lj_cut_coul_long's expression,
+    shared by the all-pairs and gather-list pair loops."""
+    x = alpha * (r2c * inv_r)
+    ex = jnp.exp(-x * x)
+    return qq * inv_r2 * (erfc_poly(x, ex) * inv_r + _EWALD_F * alpha * ex)
+
+
 def _asin_poly(x):
     """asin on [-0.5, 0.5] (Cephes single-precision minimax)."""
     z = x * x
@@ -1076,15 +1086,8 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     if spec.coul:
                         qq = qq_ref[0][sl]
                         if spec.ewald_alpha > 0.0:
-                            # damped real-space Ewald (see FusedSpec
-                            # .ewald_alpha): F/r = qq (erfc(x)/r
-                            # + EWALD_F a e^{-x^2}) / r^2, x = a r
-                            a = spec.ewald_alpha
-                            x = a * (r2c * inv_r)
-                            ex = jnp.exp(-x * x)
-                            fcoul = qq * inv_r2 * (
-                                erfc_poly(x, ex) * inv_r
-                                + _EWALD_F * a * ex)
+                            fcoul = _ewald_fcoul(qq, r2c, inv_r, inv_r2,
+                                                 spec.ewald_alpha)
                         else:
                             fcoul = qq * inv_r * inv_r2
                         fpair = fpair + jnp.where(
@@ -1172,13 +1175,8 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     livec = (r2 < spec.coul_cutoff2) & (r2 > spec.r2min)
                     inv_r = jax.lax.rsqrt(r2c)
                     if spec.ewald_alpha > 0.0:
-                        # damped real-space Ewald, same expression as the
-                        # all-pairs branch (see FusedSpec.ewald_alpha)
-                        a = spec.ewald_alpha
-                        x = a * (r2c * inv_r)
-                        ex = jnp.exp(-x * x)
-                        fcoul = qq * inv_r2 * (
-                            erfc_poly(x, ex) * inv_r + _EWALD_F * a * ex)
+                        fcoul = _ewald_fcoul(qq, r2c, inv_r, inv_r2,
+                                             spec.ewald_alpha)
                     else:
                         fcoul = qq * inv_r * inv_r2
                     fpair = fpair + jnp.where(livec, fcoul, 0.0)
@@ -1840,6 +1838,17 @@ class FusedRunner:
     kspace_virial_fn: object = None
     kspace_every: int = 10
 
+    def _static_rows(self, ch, dtype):
+        """Attach the position-independent channel rows (chain topo,
+        offset-pattern params, SHAKE d0^2) — shared by every builder."""
+        if self.topo is not None:
+            ch["topo"] = self.topo.astype(dtype)
+        if self.pat_rows is not None:
+            ch["pat"] = self.pat_rows.astype(dtype)
+        if self.shk_rows is not None:
+            ch["shk"] = self.shk_rows.astype(dtype)
+        return ch
+
     def channels(self, pos, h):
         if self.spec.sw:
             return {}  # parameter-free: everything closes over sw_params
@@ -1847,13 +1856,7 @@ class FusedRunner:
             ch = {"w4e": self.dense_lj1, "sig2": self.dense_lj2}
             if self.dense_qq is not None:
                 ch["qq"] = self.dense_qq
-            if self.topo is not None:
-                ch["topo"] = self.topo.astype(pos.dtype)
-            if self.pat_rows is not None:
-                ch["pat"] = self.pat_rows.astype(pos.dtype)
-            if self.shk_rows is not None:
-                ch["shk"] = self.shk_rows.astype(pos.dtype)
-            return ch
+            return self._static_rows(ch, pos.dtype)
         if self.pair_cls is not None:
             return self._channels_packed(pos, h)
         nbr = NB.build(self.nspec, pos, h)
@@ -1871,13 +1874,7 @@ class FusedRunner:
         ch = pack_channels(pos, h, nbr, eps_pair, sig_pair, weights=w,
                            qq_pair=qq, qq_weights=wq, dtype=pos.dtype,
                            k_pad=self.spec.k)
-        if self.topo is not None:
-            ch["topo"] = self.topo.astype(pos.dtype)
-        if self.pat_rows is not None:
-            ch["pat"] = self.pat_rows.astype(pos.dtype)
-        if self.shk_rows is not None:
-            ch["shk"] = self.shk_rows.astype(pos.dtype)
-        return ch
+        return self._static_rows(ch, pos.dtype)
 
     def _channels_packed(self, pos, h):
         """Rebuild via the payload-packed single-top_k dense path — the
@@ -1902,13 +1899,7 @@ class FusedRunner:
             pk.idx, pk.mask, pk.img, w4e, sig2, qq=qq,
             k_pad=self.spec.k, dtype=dtype,
         )
-        if self.topo is not None:
-            ch["topo"] = self.topo.astype(dtype)
-        if self.pat_rows is not None:
-            ch["pat"] = self.pat_rows.astype(dtype)
-        if self.shk_rows is not None:
-            ch["shk"] = self.shk_rows.astype(dtype)
-        return ch
+        return self._static_rows(ch, dtype)
 
 
 def _chunk_steps(rebuild_every: int) -> int:
@@ -1986,6 +1977,12 @@ def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
         h_end = B.deform_path(state.h, jnp.asarray(eps_eff, dtype), frac_end)
         return E.MDState(pos=pos, vel=vel, h=h_end, vxi=vxi_end)
     R = _chunk_steps(runner.rebuild_every)
+    if runner.kspace_fn is not None:
+        # list-path kspace split: chunks run at the SHORTER of the
+        # rebuild and kspace cadences so both refreshes happen on time
+        # (rebuilding more often than rebuild_every is always safe;
+        # kspace_every stays an honest accuracy knob on this path too)
+        R = min(R, max(1, int(runner.kspace_every)))
     n_steps = jnp.maximum(jnp.asarray(n_steps), R)
     n_chunks = n_steps // R
     h0 = state.h
@@ -1999,8 +1996,6 @@ def run_strain_fused(runner: FusedRunner, state, eps_eff, n_steps, T, dt):
         h_c = B.deform_path(h0, eps, frac)
         ch = runner.channels(pos, h_c)
         if runner.kspace_fn is not None:
-            # list-path kspace split: the frozen smooth remainder rides
-            # the rebuild cadence (effective kspace_every = rebuild_every)
             fk = runner.kspace_fn(pos, h_c)
             ch = {**ch, "fext": pack_fext(fk, spec.n_atoms, dtype)}
         st8 = pack_state(pos, vel, runner.masses, spec.ftm2v, dtype=dtype)
@@ -2158,6 +2153,10 @@ def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
         press = pacc / ns
         return E.MDState(pos=pos, vel=vel, h=state.h, vxi=vxi_end), press
     R = _chunk_steps(runner.rebuild_every)
+    if runner.kspace_fn is not None:
+        # both refreshes per chunk at the shorter cadence (see
+        # run_strain_fused's list-path branch)
+        R = min(R, max(1, int(runner.kspace_every)))
     n_chunks = max(1, n_steps // R)
     dtype = state.pos.dtype
     h = state.h
@@ -2170,8 +2169,8 @@ def sample_stress_fused(runner: FusedRunner, state, n_steps: int, T, dt):
         ch = runner.channels(pos, h)
         wk = jnp.zeros((6,), dtype)
         if runner.kspace_fn is not None:
-            # list-path kspace split: frozen remainder force per rebuild
-            # chunk; its virial joins the pressure accumulator here
+            # frozen remainder force per chunk; its virial joins the
+            # pressure accumulator here
             fk = runner.kspace_fn(pos, h)
             ch = {**ch, "fext": pack_fext(fk, spec.n_atoms, dtype)}
             wk = runner.kspace_virial_fn(pos, h).astype(dtype)

@@ -39,8 +39,11 @@ if _hard == resource.RLIM_INFINITY and _soft != resource.RLIM_INFINITY:
 # modules (tests/test_reax.py) is the in-process fallback.
 import subprocess as _sp
 
-_sp.run(["sysctl", "-w", "vm.max_map_count=1048576"],
-        check=False, capture_output=True)
+try:
+    _sp.run(["sysctl", "-w", "vm.max_map_count=1048576"],
+            check=False, capture_output=True)
+except OSError:  # sysctl binary absent (slim images): fall back to the
+    pass         # in-process cache clears only
 
 import jax
 
