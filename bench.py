@@ -22,8 +22,23 @@ fused-kernel path on the same OPLS melt; md_vs_24core_node divides by
 united-atom LJ+bonded class performance), so >= 10 meets the target.
 """
 import json
+import os
+import subprocess
 import sys
 import time
+
+# Wall budgets (seconds).  The round-3 bench died rc=124 with ZERO
+# metrics because a dead axon backend made every phase re-attempt
+# backend init for ~25 min inside its try/except; the driver killed the
+# whole process before the final JSON print.  Round-4 structure:
+#   1. an up-front backend probe in a subprocess with a hard timeout —
+#      on failure the JSON line (with an "error" key) prints in <2 min;
+#   2. EVERY phase runs in its own watchdogged subprocess with its own
+#      budget (one wedged Mosaic compile can no longer eat the round);
+#   3. a total wall budget after which remaining phases are skipped and
+#      whatever accumulated is flushed.  The headline phase runs first.
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_S", 90))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_S", 1800))
 
 # Derivation (BASELINE.md "Grounding the 10x denominator"): the public
 # LAMMPS benchmark suite's standard melt workloads run at ~0.4-1.0e6
@@ -296,103 +311,174 @@ def bench_hmm_opls():
     return dt_s, jobs
 
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--allatom-coupled-only":
-        dt_s, jobs, n_atoms = bench_hmm_allatom()
-        print(json.dumps({"s_per_step": dt_s, "jobs": jobs,
-                          "n_atoms": n_atoms}))
-        return
-    result = {}
-    try:
-        md_rate = bench_md_throughput_fused()
-        print(f"[bench] fused OPLS MD: {md_rate:.3e} atom-steps/s "
-              f"({md_rate / LAMMPS_24CORE_ATOM_STEPS:.1f}x a 24-core node)",
-              file=sys.stderr)
-        result.update(
-            md_atom_steps_per_sec=round(md_rate, 0),
-            md_vs_24core_node=round(md_rate / LAMMPS_24CORE_ATOM_STEPS, 2),
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] MD throughput failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
+def phase_hmm_opls():
+    dt_s, jobs = bench_hmm_opls()
+    return {
+        "metric": "hmm_macro_step_s_dogbone_opls",
+        "value": round(dt_s, 2),
+        "unit": "s/step",
+        "vs_baseline": round(120.0 / dt_s, 2),
+        "md_jobs_executed": jobs,
+    }
 
-    try:
-        big = bench_md_bigbox()
-        print(f"[bench] 1728-atom melt: {big:.3e} atom-steps/s "
-              f"(round-2 list kernel: 4.8e6)", file=sys.stderr)
-        result.update(md_bigbox1728_atom_steps_per_sec=round(big, 0))
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] big-box failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
 
-    try:
-        aa = bench_md_allatom()
-        print(f"[bench] charged all-atom PE (SHAKE+PME split): "
-              f"{aa:.3e} atom-steps/s "
-              f"({aa / LAMMPS_24CORE_ALLATOM_ATOM_STEPS:.1f}x a 24-core "
-              "node on this class)", file=sys.stderr)
-        result.update(
-            md_allatom_shake_pme_atom_steps_per_sec=round(aa, 0),
-            md_allatom_vs_24core_node=round(
-                aa / LAMMPS_24CORE_ALLATOM_ATOM_STEPS, 2),
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] all-atom failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
+def phase_md_fused():
+    md_rate = bench_md_throughput_fused()
+    print(f"[bench] fused OPLS MD: {md_rate:.3e} atom-steps/s "
+          f"({md_rate / LAMMPS_24CORE_ATOM_STEPS:.1f}x a 24-core node)",
+          file=sys.stderr)
+    return {
+        "md_atom_steps_per_sec": round(md_rate, 0),
+        "md_vs_24core_node": round(md_rate / LAMMPS_24CORE_ATOM_STEPS, 2),
+    }
 
-    try:
-        rx = bench_md_reax()
-        print(f"[bench] ReaxFF (dense field + QEq): {rx:.3e} atom-steps/s",
-              file=sys.stderr)
-        result.update(md_reax_atom_steps_per_sec=round(rx, 0))
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] reax failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
 
-    try:
-        sisw = bench_sisw_example()
-        result.update(
-            sisw_example_s_per_step=round(sisw, 2),
-            sisw_vs_reference=round(120.0 / sisw, 1),
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] SiSW example failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
+def phase_md_bigbox():
+    big = bench_md_bigbox()
+    print(f"[bench] 1728-atom melt: {big:.3e} atom-steps/s "
+          f"(round-2 list kernel: 4.8e6)", file=sys.stderr)
+    return {"md_bigbox1728_atom_steps_per_sec": round(big, 0)}
 
-    try:
-        # the coupled charged run compiles a large kernel — isolate it in
-        # a watchdogged subprocess so a pathological compile cannot take
-        # the whole bench down with it
-        import subprocess
 
-        r = subprocess.run(
-            [sys.executable, __file__, "--allatom-coupled-only"],
-            capture_output=True, text=True, timeout=1500)
-        line = r.stdout.strip().splitlines()[-1]
-        d = json.loads(line)
-        result.update(
-            hmm_allatom_s_per_step=round(d["s_per_step"], 2),
-            hmm_allatom_jobs=d["jobs"],
-            hmm_allatom_box_atoms=d["n_atoms"],
-        )
-        print(f"[bench] coupled all-atom dogbone: "
-              f"{d['s_per_step']:.2f} s/step", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] coupled all-atom failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
+def phase_md_allatom():
+    aa = bench_md_allatom()
+    print(f"[bench] charged all-atom PE (SHAKE+PME split): "
+          f"{aa:.3e} atom-steps/s "
+          f"({aa / LAMMPS_24CORE_ALLATOM_ATOM_STEPS:.1f}x a 24-core "
+          "node on this class)", file=sys.stderr)
+    return {
+        "md_allatom_shake_pme_atom_steps_per_sec": round(aa, 0),
+        "md_allatom_vs_24core_node": round(
+            aa / LAMMPS_24CORE_ALLATOM_ATOM_STEPS, 2),
+    }
 
+
+def phase_md_reax():
+    rx = bench_md_reax()
+    print(f"[bench] ReaxFF (dense field + QEq): {rx:.3e} atom-steps/s",
+          file=sys.stderr)
+    return {"md_reax_atom_steps_per_sec": round(rx, 0)}
+
+
+def phase_sisw():
+    sisw = bench_sisw_example()
+    return {
+        "sisw_example_s_per_step": round(sisw, 2),
+        "sisw_vs_reference": round(120.0 / sisw, 1),
+    }
+
+
+def phase_hmm_allatom():
+    dt_s, jobs, n_atoms = bench_hmm_allatom()
+    return {
+        "hmm_allatom_s_per_step": round(dt_s, 2),
+        "hmm_allatom_jobs": jobs,
+        "hmm_allatom_box_atoms": n_atoms,
+    }
+
+
+def phase_hmm_hooke_cpu():
+    """CPU-only fallback evidence when the TPU backend is down: a small
+    dogbone in Hooke mode on the host backend (still exercises the full
+    FE + clustering + bridge pipeline; small mesh keeps the CPU compile
+    well inside the fallback budget)."""
+    import jax
+
+    # the axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon
+    # pinned, so env vars are too late here — override through jax.config
+    # before first backend use (same workaround as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from scema_tpu.config import HMMConfig
+    from scema_tpu.hmm.problem import build_hooke_hmm
+
+    cfg = HMMConfig()
+    cfg = cfg.replace(
+        mesh=cfg.mesh.__class__(x_cells=2, y_cells=2, z_cells=4),
+        bridging=cfg.bridging.__class__(stress_method=0,
+                                        approx_md_with_hookes_law=True),
+    )
+    hmm = build_hooke_hmm(cfg)
+    carry = hmm.init_state()
+    step = jax.jit(hmm.step)
+    carry, _ = step(carry)
+    float(np.asarray(carry.u[0]))
+    t0 = time.perf_counter()
+    carry, _ = step(carry)
+    float(np.asarray(carry.u[0]))
+    return {"hmm_hooke_cpu_s_per_step": round(time.perf_counter() - t0, 3)}
+
+
+# Ordered by importance: the headline metric first, so it survives even
+# a tight budget.  Budgets assume the axon-relay compile cache may be
+# cold for the early phases (512-atom fused kernel ~2 min, charged
+# all-atom ~10 min worst-case; warm cache makes every phase <60 s).
+PHASES = [
+    ("hmm_opls", 700.0, phase_hmm_opls),
+    ("md_fused", 420.0, phase_md_fused),
+    ("md_bigbox", 420.0, phase_md_bigbox),
+    ("md_allatom", 600.0, phase_md_allatom),
+    ("md_reax", 420.0, phase_md_reax),
+    ("sisw", 420.0, phase_sisw),
+    ("hmm_allatom", 800.0, phase_hmm_allatom),
+]
+_PHASE_FNS = {name: fn for name, _, fn in PHASES}
+_PHASE_FNS["hmm_hooke_cpu"] = phase_hmm_hooke_cpu
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp, numpy as np;"
+    "x = jnp.arange(8.0);"
+    "assert float(np.asarray(jnp.sum(x))) == 28.0;"
+    "print('PROBE_OK', jax.devices())"
+)
+
+
+def _probe_backend(budget_s):
+    """Hard-timeout round-trip through the default backend in a child
+    process.  Returns (ok, detail)."""
     try:
-        dt_s, jobs = bench_hmm_opls()
-        result.update(
-            metric="hmm_macro_step_s_dogbone_opls",
-            value=round(dt_s, 2),
-            unit="s/step",
-            vs_baseline=round(120.0 / dt_s, 2),
-            md_jobs_executed=jobs,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] coupled run failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True, timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        return False, f"probe timeout after {budget_s:.0f}s"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return False, tail[-1][:300] if tail else f"probe rc={r.returncode}"
+    return True, r.stdout.strip()
+
+
+def _run_phase_subprocess(name, budget_s, env=None):
+    """Run one phase as `bench.py --phase NAME` under a watchdog.
+    Returns (dict_or_None, error_or_None)."""
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run([sys.executable, __file__, "--phase", name],
+                           capture_output=True, text=True, timeout=budget_s,
+                           env=env)
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode(errors="replace"))
+        return None, f"timeout after {budget_s:.0f}s"
+    sys.stderr.write(r.stderr or "")
+    took = time.perf_counter() - t0
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        detail = tail[-1][:300] if tail else ""
+        return None, f"rc={r.returncode} after {took:.0f}s ({detail})"
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None, f"no JSON line in phase output after {took:.0f}s"
+
+
+def _finalize(result, errors):
+    """Guarantee the driver's required headline keys, whatever happened."""
+    if errors:
+        result["phase_errors"] = errors
+    if "metric" not in result:
         if "md_atom_steps_per_sec" in result:
             result.update(
                 metric="md_opls_atom_steps_per_sec",
@@ -401,8 +487,56 @@ def main():
                 vs_baseline=result["md_vs_24core_node"],
             )
         else:
-            raise
+            result.update(metric="bench_failed", value=0.0, unit="none",
+                          vs_baseline=0.0)
     print(json.dumps(result))
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
+        # child mode: run exactly one phase, emit one JSON line
+        print(json.dumps(_PHASE_FNS[sys.argv[2]]()))
+        return
+    deadline = time.time() + TOTAL_BUDGET_S
+    result, errors = {}, {}
+
+    ok, detail = _probe_backend(PROBE_BUDGET_S)
+    if not ok:
+        # Dead backend: emit a parseable JSON line IMMEDIATELY (<2 min
+        # from launch), then attach CPU-measurable evidence under its
+        # own small budget in a final complete line, and exit 0.
+        print(f"[bench] backend probe FAILED: {detail}", file=sys.stderr)
+        result["error"] = f"backend unavailable: {detail}"
+        print(json.dumps(dict(result, metric="bench_failed", value=0.0,
+                              unit="none", vs_baseline=0.0)), flush=True)
+        # JAX_PLATFORMS must be set BEFORE the child interpreter starts:
+        # the axon sitecustomize imports jax at startup, so an in-process
+        # env override inside the phase function is too late.
+        cpu, err = _run_phase_subprocess(
+            "hmm_hooke_cpu", 240.0,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        if cpu:
+            result.update(cpu)
+        elif err:
+            errors["hmm_hooke_cpu"] = err
+        _finalize(result, errors)
+        return
+    print(f"[bench] backend probe ok: {detail}", file=sys.stderr)
+
+    for name, budget, _fn in PHASES:
+        remaining = deadline - time.time()
+        if remaining < 60.0:
+            errors[name] = "skipped (total wall budget exhausted)"
+            print(f"[bench] {name}: skipped (budget)", file=sys.stderr)
+            continue
+        phase_budget = min(budget, remaining)
+        d, err = _run_phase_subprocess(name, phase_budget)
+        if d:
+            result.update(d)
+        else:
+            errors[name] = err
+            print(f"[bench] {name} failed: {err}", file=sys.stderr)
+    _finalize(result, errors)
 
 
 if __name__ == "__main__":

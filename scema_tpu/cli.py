@@ -211,6 +211,10 @@ def cmd_run(args) -> int:
 
             if due(o.visualisation_frequency):
                 writer.write_visualisation(fe, ts, float(fe.time))
+                # the reference writes the DG-projected history VTU on the
+                # same cadence (dealammps.cc output block -> FE_problem.h
+                # output_visualisation_history :2050)
+                writer.write_visualisation_history(fe, ts, float(fe.time))
             if due(o.loaded_boundary_force_frequency):
                 writer.write_lbc_force(ts, float(fe.time), float(out.reaction_force))
             if due(o.analytics_frequency):
@@ -361,8 +365,14 @@ def cmd_strain_md(args) -> int:
         import numpy as np
         from .md.data_io import write_lammpstrj
 
-        write_lammpstrj(args.dump, np.asarray(st.pos), np.asarray(st.h))
-        print(f"trajectory frame written to {args.dump}")
+        # the reference's microstate-dump column set (id type xs ys zs
+        # vx vy vz ix iy iz, stmd_problem.h:262) so analyse-md can
+        # re-homogenize the dump like anmd_problem.h:100-179 does
+        write_lammpstrj(args.dump, np.asarray(st.pos), np.asarray(st.h),
+                        types=np.asarray(sys_.type) if hasattr(sys_, "type")
+                        else None,
+                        vel=np.asarray(st.vel), style="custom_scaled")
+        print(f"microstate dump written to {args.dump}")
     return 0
 
 
@@ -394,7 +404,25 @@ def cmd_analyse_md(args) -> int:
     spec = M.MaterialSpec(name=cfg.material.materials[0],
                           n_cells=args.cells, **md_spec_kwargs(cfg))
     sys_, st0 = M.build_system(spec)
-    st = load_checkpoint(args.state, st0)
+    if args.state.endswith((".dump", ".lammpstrj")):
+        # reference-produced last.<qpid>.<mat>_<r>.dump text microstate
+        # (stmd_problem.h:262, re-read by anmd_problem.h:100-179)
+        from .md.data_io import read_lammps_dump
+
+        frame = read_lammps_dump(args.state)
+        if frame["pos"].shape[0] != st0.pos.shape[0]:
+            print(f"error: dump has {frame['pos'].shape[0]} atoms but the "
+                  f"config's material box has {st0.pos.shape[0]} — "
+                  "match --cells / material to the dump's system",
+                  file=sys.stderr)
+            return 2
+        st = st0._replace(
+            pos=jnp.asarray(frame["pos"], st0.pos.dtype),
+            vel=jnp.asarray(frame["vel"], st0.vel.dtype),
+            h=jnp.asarray(frame["h"], st0.h.dtype),
+        )
+    else:
+        st = load_checkpoint(args.state, st0)
     st, press = jax.jit(
         lambda s: E.sample_stress(sys_, s, params.nsteps_sample,
                                   params.temperature, params.dt)

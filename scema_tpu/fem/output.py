@@ -3,8 +3,11 @@
 reference: FE_problem.h output stack —
 * ``output_visualisation_solution`` (:2126-2254): per-rank .vtu + .pvtu/
   .visit/.pvd masters with displacement/velocity;
-* ``output_visualisation_history`` (:2050-2121): qp history fields
-  projected to the mesh (here: cell-averaged tensors as VTK cell data);
+* ``compute_history_projection_from_qp_to_nodes`` (:1863-1937): L2
+  projection of the qp strain/stress history onto a per-cell
+  discontinuous (DG-Q1) nodal field;
+* ``output_visualisation_history`` (:2050-2121): the projected history
+  written as history-* VTU/pvtu/visit pieces + a history.pvd collection;
 * ``output_lhistory`` (:1984-2045): per-qp strain/stress CSV;
 * ``output_lbc_force`` (:1941-1980): loaded-boundary reaction-force CSV.
 
@@ -87,6 +90,37 @@ def write_vtu(
         f.write(xml)
 
 
+def qp_to_dg_projection_matrix(n_gauss: int) -> np.ndarray:
+    """(8, n_qp) matrix projecting per-cell quadrature-point values onto
+    the cell's DG-Q1 nodal dofs by reference-cell L2 projection —
+    deal.II's ``FETools::compute_projection_from_quadrature_points_matrix``
+    as used by the reference (FE_problem.h:1878-1882): solve
+    M a = B W f with M_ij = sum_q phi_i(x_q) w_q phi_j(x_q).
+
+    For the 2x2x2 Gauss rule (the shipped configs' quadrature) B is
+    square/invertible so the projection recovers any trilinear field
+    exactly at the nodes; for higher rules it is the least-squares fit.
+    """
+    from .shapes import q1_shape_values, tensor_quadrature
+
+    pts, wts = tensor_quadrature(n_gauss)
+    B = q1_shape_values(pts).T  # (8, n_qp)
+    BW = B * wts  # row-scale by quadrature weights
+    M = BW @ B.T
+    return np.linalg.solve(M, BW)
+
+
+def project_history_to_nodes(qp_field: np.ndarray, n_cells: int) -> np.ndarray:
+    """qp history tensor (n_qp_total, 6) -> DG nodal values
+    (n_cells * 8, 6), the rebuild of FE_problem.h:1863-1937."""
+    qp_field = np.asarray(qp_field)
+    n_qp_per_cell = qp_field.shape[0] // n_cells
+    n_gauss = round(n_qp_per_cell ** (1.0 / 3.0))
+    P = qp_to_dg_projection_matrix(n_gauss)  # (8, n_qp_per_cell)
+    cellwise = qp_field.reshape(n_cells, n_qp_per_cell, -1)
+    return np.einsum("dq,cqk->cdk", P, cellwise).reshape(n_cells * 8, -1)
+
+
 def write_pvtu(path: str, pieces: list[str], point_data: dict,
                cell_data: dict) -> None:
     """Parallel-collection master referencing per-rank .vtu pieces
@@ -146,17 +180,22 @@ class OutputWriter:
         self.nodes = np.asarray(nodes)
         self.cells = np.asarray(cells)
         self.pvd_entries: list[tuple[float, str]] = []
+        self.history_pvd_entries: list[tuple[float, str]] = []
         os.makedirs(outdir, exist_ok=True)
         self._lbc_path = os.path.join(outdir, "loaded_boundary_force.csv")
-        pvd = os.path.join(outdir, "solution.pvd")
-        if resume and os.path.exists(pvd):
+        if resume:
             import re
 
-            for m in re.finditer(
-                r'<DataSet\s+timestep="([^"]+)"[^>]*file="([^"]+)"',
-                open(pvd).read(),
-            ):
-                self.pvd_entries.append((float(m.group(1)), m.group(2)))
+            for entries, name in ((self.pvd_entries, "solution.pvd"),
+                                  (self.history_pvd_entries, "history.pvd")):
+                pvd = os.path.join(outdir, name)
+                if not os.path.exists(pvd):
+                    continue
+                for m in re.finditer(
+                    r'<DataSet\s+timestep="([^"]+)"[^>]*file="([^"]+)"',
+                    open(pvd).read(),
+                ):
+                    entries.append((float(m.group(1)), m.group(2)))
         if not (resume and os.path.exists(self._lbc_path)):
             with open(self._lbc_path, "w") as f:
                 f.write("timestep,time,reaction_force\n")
@@ -220,6 +259,41 @@ class OutputWriter:
             f.write(fname + "\n")
         self.pvd_entries.append((time, base + ".pvtu"))
         write_pvd(os.path.join(self.outdir, "solution.pvd"), self.pvd_entries)
+        return fname
+
+    def write_visualisation_history(self, fe_state, timestep: int,
+                                    time: float) -> str:
+        """qp strain/stress history projected to per-cell DG-Q1 nodes and
+        written as a discontinuous VTU + pvtu/visit masters + history.pvd
+        (FE_problem.h:2050-2121 ``output_visualisation_history``; component
+        names strain_xx..yz / stress_xx..yz match :2067-2073)."""
+        n_cells = len(self.cells)
+        strain = project_history_to_nodes(
+            np.asarray(fe_state.qp.new_strain), n_cells)
+        stress = project_history_to_nodes(
+            np.asarray(fe_state.qp.new_stress), n_cells)
+        # discontinuous mesh: every cell owns private copies of its 8
+        # corner points (deal.II's history_dof_handler over FE_DGQ)
+        dg_nodes = self.nodes[self.cells].reshape(-1, 3)
+        dg_cells = np.arange(n_cells * 8, dtype=np.int32).reshape(n_cells, 8)
+        comp = ("xx", "yy", "zz", "xy", "xz", "yz")  # our Voigt order
+        point_data = {}
+        for k, c in enumerate(comp):
+            point_data[f"strain_{c}"] = strain[:, k]
+        for k, c in enumerate(comp):
+            point_data[f"stress_{c}"] = stress[:, k]
+        fname = f"history-{timestep:06d}.vtu"
+        write_vtu(os.path.join(self.outdir, fname), dg_nodes, dg_cells,
+                  point_data, {})
+        base = f"history-{timestep:06d}"
+        write_pvtu(os.path.join(self.outdir, base + ".pvtu"), [fname],
+                   point_data, {})
+        with open(os.path.join(self.outdir, base + ".visit"), "w") as f:
+            f.write("!NBLOCKS 1\n")
+            f.write(fname + "\n")
+        self.history_pvd_entries.append((time, base + ".pvtu"))
+        write_pvd(os.path.join(self.outdir, "history.pvd"),
+                  self.history_pvd_entries)
         return fname
 
     def write_mesh_eps(self, path: str | None = None) -> str:

@@ -504,9 +504,16 @@ def build_pe_melt_allatom(
 
 
 def write_lammpstrj(path: str, pos, h, types=None, timestep: int = 0,
-                    append: bool = False) -> None:
+                    append: bool = False, vel=None,
+                    style: str = "atom") -> None:
     """LAMMPS trajectory frame (the reference's optional homogenization
-    dumps, stmd_problem.h:313-317) — readable by OVITO/VMD."""
+    dumps, stmd_problem.h:313-317) — readable by OVITO/VMD.
+
+    ``style="custom_scaled"`` writes the reference's microstate-dump
+    column set instead: ``id type xs ys zs vx vy vz ix iy iz``
+    (stmd_problem.h:262 ``write_dump all custom ...``) with coordinates
+    scaled to the box; image flags are zero because positions here are
+    already unwrapped."""
     pos = np.asarray(pos)
     h = np.asarray(h)
     n = len(pos)
@@ -523,10 +530,97 @@ def write_lammpstrj(path: str, pos, h, types=None, timestep: int = 0,
         f.write(f"{xlo:.8g} {xhi:.8g} {xy:.8g}\n")
         f.write(f"{min(0.0, yz):.8g} {h[1, 1] + max(0.0, yz):.8g} {xz:.8g}\n")
         f.write(f"0.0 {h[2, 2]:.8g} {yz:.8g}\n")
+        if style == "custom_scaled":
+            vel = np.zeros_like(pos) if vel is None else np.asarray(vel)
+            # fractional coordinates: pos = s @ h^T (row-vector upper-
+            # triangular box convention used throughout md/box.py)
+            s = pos @ np.linalg.inv(h.T)
+            f.write("ITEM: ATOMS id type xs ys zs vx vy vz ix iy iz\n")
+            for i in range(n):
+                f.write(f"{i + 1} {int(types[i]) + 1} "
+                        f"{s[i, 0]:.10g} {s[i, 1]:.10g} {s[i, 2]:.10g} "
+                        f"{vel[i, 0]:.10g} {vel[i, 1]:.10g} {vel[i, 2]:.10g} "
+                        f"0 0 0\n")
+            return
         f.write("ITEM: ATOMS id type x y z\n")
         for i in range(n):
             f.write(f"{i + 1} {int(types[i]) + 1} "
                     f"{pos[i, 0]:.8g} {pos[i, 1]:.8g} {pos[i, 2]:.8g}\n")
+
+
+def read_lammps_dump(path: str):
+    """Parse a LAMMPS text dump frame (the reference's
+    ``last.<qpid>.<mat>_<r>.dump`` microstate dumps, written by
+    stmd_problem.h:262 as ``id type xs ys zs vx vy vz ix iy iz`` and
+    re-read by anmd_problem.h:100-179 via ``rerun``).
+
+    Handles both scaled (xs ys zs) and unscaled (x y z) coordinate
+    columns, optional velocities, and image flags (unwrapped as
+    pos += image @ h^T).  Returns a dict with keys
+    ``pos`` (n,3) A, ``vel`` (n,3), ``h`` (3,3) upper-triangular box,
+    ``types`` (n,) zero-based, ``timestep`` int — the last frame if the
+    file holds several."""
+    frames = []
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].startswith("ITEM: TIMESTEP"):
+            i += 1
+            continue
+        timestep = int(lines[i + 1].split()[0])
+        assert lines[i + 2].startswith("ITEM: NUMBER OF ATOMS")
+        n = int(lines[i + 3].split()[0])
+        assert lines[i + 4].startswith("ITEM: BOX BOUNDS")
+        triclinic = "xy" in lines[i + 4]
+        rows = [
+            [float(v) for v in lines[i + 5 + k].split()] for k in range(3)
+        ]
+        if triclinic:
+            (xlo_b, xhi_b, xy), (ylo_b, yhi_b, xz), (zlo, zhi, yz) = rows
+            # invert LAMMPS's bounding-box convention (the writer above /
+            # the LAMMPS docs): recover the true cell edges
+            xlo = xlo_b - min(0.0, xy, xz, xy + xz)
+            xhi = xhi_b - max(0.0, xy, xz, xy + xz)
+            ylo = ylo_b - min(0.0, yz)
+            yhi = yhi_b - max(0.0, yz)
+        else:
+            (xlo, xhi), (ylo, yhi), (zlo, zhi) = [r[:2] for r in rows]
+            xy = xz = yz = 0.0
+        h = np.array([[xhi - xlo, xy, xz],
+                      [0.0, yhi - ylo, yz],
+                      [0.0, 0.0, zhi - zlo]])
+        hdr = lines[i + 8].split()
+        assert hdr[:2] == ["ITEM:", "ATOMS"], hdr
+        cols = hdr[2:]
+        col = {c: k for k, c in enumerate(cols)}
+        scaled = "xs" in col
+        data = np.array(
+            [[float(v) for v in lines[i + 9 + k].split()] for k in range(n)]
+        )
+        # dumps are not id-sorted in general: restore atom order
+        order = np.argsort(data[:, col["id"]].astype(int)) if "id" in col \
+            else np.arange(n)
+        data = data[order]
+        if scaled:
+            s = data[:, [col["xs"], col["ys"], col["zs"]]]
+            pos = s @ h.T
+        else:
+            pos = data[:, [col["x"], col["y"], col["z"]]]
+            pos = pos - np.array([xlo, ylo, zlo])
+        if {"ix", "iy", "iz"} <= set(col):
+            img = data[:, [col["ix"], col["iy"], col["iz"]]]
+            pos = pos + img @ h.T
+        vel = (data[:, [col["vx"], col["vy"], col["vz"]]]
+               if "vx" in col else np.zeros_like(pos))
+        types = (data[:, col["type"]].astype(int) - 1
+                 if "type" in col else np.zeros(n, dtype=int))
+        frames.append(dict(pos=pos, vel=vel, h=h, types=types,
+                           timestep=timestep))
+        i = i + 9 + n
+    if not frames:
+        raise ValueError(f"no dump frames found in {path}")
+    return frames[-1]
 
 
 def to_opls(data: MolecularData, lj_cutoff: float = 12.0, coul_cutoff: float = 9.0,

@@ -50,6 +50,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+
+def pytest_configure(config):
+    # Fast profile: `pytest -m "not slow"` (~10 min) for inner-loop
+    # development.  The FULL suite (including slow) remains the gate.
+    config.addinivalue_line(
+        "markers",
+        "slow: test takes >=1 minute on the CPU mesh; deselect with "
+        "-m 'not slow' for the fast development profile",
+    )
+
 # Build the native C++ runtime once per session so the C++-twin tests
 # (tests/test_native.py) execute instead of skipping.  Failures fall
 # through silently — every native entry point has a Python fallback.

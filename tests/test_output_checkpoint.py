@@ -45,6 +45,56 @@ def test_vtu_well_formed(tmp_path):
     assert fname in (tmp_path / fname.replace(".vtu", ".pvtu")).read_text()
 
 
+def test_history_projection_exact_on_linear_field(tmp_path):
+    """The DG qp->node projection (FE_problem.h:1863-1937) must recover a
+    field that is (tri)linear in space EXACTLY at the cell nodes — the
+    2x2x2 Gauss rule has as many points as DG-Q1 dofs, so the L2
+    projection is interpolation-exact on the Q1 space."""
+    from scema_tpu.fem.output import project_history_to_nodes
+    from scema_tpu.fem import shapes as S
+
+    hmm = small_hmm()
+    nodes = np.asarray(hmm.problem.mesh.nodes)
+    cells = np.asarray(hmm.problem.mesh.cells)
+    geom = hmm.geom
+    n_cells = len(cells)
+    n_qp = geom.n_qp_per_cell
+    # qp real-space coordinates: x_q = sum_i phi_i(xi_q) x_i
+    shp = np.asarray(geom.shapes)  # (n_qp, 8)
+    xq = np.einsum("qi,cik->cqk", shp, nodes[cells])  # (n_cells, n_qp, 3)
+
+    def lin(p):  # a full trilinear-compatible affine field, 6 components
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        return np.stack([1.0 + 2 * x, 3 * y - z, x + y + z,
+                         0.5 - x + 4 * z, 2 * z, -y], axis=-1)
+
+    qp_field = lin(xq).reshape(n_cells * n_qp, 6)
+    nodal = project_history_to_nodes(qp_field, n_cells)  # (n_cells*8, 6)
+    expect = lin(nodes[cells].reshape(-1, 3))
+    np.testing.assert_allclose(nodal, expect, rtol=0, atol=1e-12)
+
+
+def test_history_vtu_well_formed(tmp_path):
+    import xml.etree.ElementTree as ET
+
+    hmm = small_hmm()
+    state = hmm.init_state()
+    state, out = jax.jit(hmm.step)(state)
+    w = OutputWriter(str(tmp_path), hmm.problem.mesh.nodes, hmm.problem.mesh.cells)
+    fname = w.write_visualisation_history(state, 1, 5e-7)
+    tree = ET.parse(tmp_path / fname)
+    piece = tree.getroot().find(".//Piece")
+    # discontinuous mesh: 8 private points per cell
+    assert piece.get("NumberOfPoints") == str(2 * 8)
+    assert piece.get("NumberOfCells") == "2"
+    names = {d.get("Name") for d in tree.getroot().findall(".//PointData/DataArray")}
+    want = {f"{t}_{c}" for t in ("strain", "stress")
+            for c in ("xx", "yy", "zz", "xy", "xz", "yz")}
+    assert want <= names  # FE_problem.h:2067-2073 component names
+    assert (tmp_path / "history.pvd").exists()
+    assert fname.replace(".vtu", ".pvtu") in (tmp_path / "history.pvd").read_text()
+
+
 def test_csv_outputs(tmp_path):
     hmm = small_hmm()
     state = hmm.init_state()
