@@ -192,6 +192,16 @@ class ReaxFFDense:
             T["p_lp2"][t] * delta_lp / (1.0 + jnp.exp(-75.0 * delta_lp)))
         return nlp, delta_lp, delta_lp_temp, vlpex, e_lp
 
+    def bond_orders(self, pos, h):
+        """Public diagnostic: the corrected bond-order matrix (n, n) plus
+        per-atom totals — what ``fix reax/c/bonds`` prints in LAMMPS.
+        Used by the external-anchor tests (integer-valence chemistry) and
+        available for analysis tooling."""
+        G, r, offdiag = self._pair_geometry(pos, h)
+        B = self._bond_orders(r, offdiag)
+        return {"bo": B["bo"], "sigma": B["bos"], "pi": B["bopi"],
+                "pipi": B["bopp"], "total": B["total"]}
+
     # -- energy --------------------------------------------------------
     def energy(self, pos, h, nbr=None):
         return self.energy_terms(pos, h)["total"]
