@@ -203,6 +203,11 @@ def cmd_run(args) -> int:
             f"flagged qps {int(out.n_flagged)}  md jobs {int(out.n_jobs)}  "
             f"reaction {float(out.reaction_force):.6g}  ({wall:.3f}s)"
         )
+        if out.cluster_saturated is not None and bool(out.cluster_saturated):
+            # never a silent cap: truncated dedup = extra MD, not wrong
+            # stresses (clustering/reduction.reduce_graph max_picks)
+            print("note: similarity-dedup pick cap reached this step; "
+                  "unreduced qps ran their own MD", file=sys.stderr)
         if writer is not None:
             o = cfg.output
 

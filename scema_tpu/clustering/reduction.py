@@ -18,10 +18,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def reduce_graph(adj: jax.Array, max_picks: int = 512) -> jax.Array:
+def reduce_graph(adj: jax.Array, max_picks: int = 512,
+                 return_saturated: bool = False):
     """(n, n) bool adjacency -> (n,) int32 mapping (qp -> source qp).
 
-    Nodes outside the graph (no edges) map to themselves.
+    Nodes outside the graph (no edges) map to themselves.  With
+    ``return_saturated`` also returns a scalar bool that is True when the
+    pick cap truncated the reduction (nodes were still active after
+    ``max_picks`` greedy picks) — surfaced to the run log so the
+    extra-MD fallback is never silent.
 
     Implementation notes:
     * a static-bound fori_loop with a no-op guard instead of the natural
@@ -57,7 +62,10 @@ def reduce_graph(adj: jax.Array, max_picks: int = 512) -> jax.Array:
         return mapping, active
 
     active0 = jnp.any(adj, axis=1)
-    mapping, _ = jax.lax.fori_loop(0, min(n, max_picks), body, (ids, active0))
+    mapping, active = jax.lax.fori_loop(
+        0, min(n, max_picks), body, (ids, active0))
+    if return_saturated:
+        return mapping, jnp.any(active)
     return mapping
 
 

@@ -316,7 +316,7 @@ class MDHMMProblem:
         from .problem import clustering_mapping
 
         p = self.cfg.precision
-        id_to_get = clustering_mapping(
+        id_to_get, cluster_saturated = clustering_mapping(
             fe_state, out.flags, p.clustering_min_steps, p.spline_points,
             p.clustering_diff_threshold,
         )
@@ -376,6 +376,7 @@ class MDHMMProblem:
             md_ran=has_result,
             md_strain_cg=out.update_strain_cg,
             md_stress_repl=stress_repl,
+            cluster_saturated=cluster_saturated,
         )
 
 

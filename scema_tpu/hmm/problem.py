@@ -51,8 +51,9 @@ def clustering_mapping(state, flags, min_steps: int, n_points: int, threshold: f
     splines = splinify_histories(state.hist.buffer, state.hist.count, n_points)
     adj = similarity_adjacency(splines, flags, threshold)
     adj = adj & (state.timestep > min_steps)
-    mapping = reduce_graph(adj)
-    return jnp.where(state.timestep > min_steps, mapping, identity)
+    mapping, saturated = reduce_graph(adj, return_saturated=True)
+    return (jnp.where(state.timestep > min_steps, mapping, identity),
+            saturated)
 
 
 class StepOutputs(NamedTuple):
@@ -66,6 +67,10 @@ class StepOutputs(NamedTuple):
     md_ran: jax.Array | None = None  # (n_qp,) bool — MD executed this step
     md_strain_cg: jax.Array | None = None  # (n_qp, 6) job strains
     md_stress_repl: jax.Array | None = None  # (n_qp, n_repl, 6) raw stresses
+    # True when reduce_graph's pick cap truncated the similarity dedup
+    # (remaining qps fell back to identity mapping = extra MD, not wrong
+    # stresses) — the CLI logs it so the cap is never a silent cost
+    cluster_saturated: jax.Array | None = None
 
 
 # An md_update_fn maps (eps_cg (n_qp,6), material (n_qp,), jobs_mask (n_qp,),
@@ -104,7 +109,7 @@ class HMMProblem:
         state, out = FE.solve(ops, state)
 
         p = self.cfg.precision
-        id_to_get = clustering_mapping(
+        id_to_get, cluster_saturated = clustering_mapping(
             state, out.flags, p.clustering_min_steps, p.spline_points,
             p.clustering_diff_threshold,
         )
@@ -135,6 +140,7 @@ class HMMProblem:
             n_flagged=jnp.sum(out.flags),
             n_jobs=jnp.sum(jobs),
             reaction_force=rf,
+            cluster_saturated=cluster_saturated,
         )
 
     def run(self, state: FEState, n_steps: int) -> tuple[FEState, StepOutputs]:
