@@ -425,6 +425,11 @@ PHASES = [
 _PHASE_FNS = {name: fn for name, _, fn in PHASES}
 _PHASE_FNS["hmm_hooke_cpu"] = phase_hmm_hooke_cpu
 
+# phases that exercise the fused all-pairs kernel: eligible for one
+# retry on the dense-plane fallback layout if the packed layout fails
+FUSED_PHASES = {"hmm_opls", "md_fused", "md_bigbox", "md_allatom",
+                "hmm_allatom"}
+
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp, numpy as np;"
     "x = jnp.arange(8.0);"
@@ -531,6 +536,21 @@ def main():
             continue
         phase_budget = min(budget, remaining)
         d, err = _run_phase_subprocess(name, phase_budget)
+        if d is None and name in FUSED_PHASES:
+            # the triangle-packed plane layout is new this round; before
+            # giving the phase up, retry once on the round-3 hardware-
+            # proven dense layout (material.py SCEMA_DENSE_PLANES hatch)
+            remaining = deadline - time.time()
+            if remaining >= 60.0:
+                print(f"[bench] {name}: retrying on dense planes ({err})",
+                      file=sys.stderr)
+                d, err2 = _run_phase_subprocess(
+                    name, min(budget, remaining),
+                    env={**os.environ, "SCEMA_DENSE_PLANES": "1"})
+                if d is not None:
+                    d = dict(d, **{name + "_dense_planes_fallback": 1})
+                else:
+                    err = f"{err}; dense-plane retry: {err2}"
         if d:
             result.update(d)
         else:

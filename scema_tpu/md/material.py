@@ -12,6 +12,7 @@ text files for interop.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -340,20 +341,34 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
 
     # all-pairs mode: dense position-independent parameter matrices ->
     # zero rebuilds, one kernel call per MD run.  The gate is the VMEM
-    # budget: lj1/lj2 + 3 min-image planes (+ qq) of (NPAD, NPAD) f32
-    # must fit the kernel's 116 MB scoped-vmem limit (v5e: 128 MiB
-    # physical).  Measured on hardware: the charged 1792-atom build's
-    # actual scoped usage is 1.42x this plane model (compiler
-    # double-buffering + state/channel blocks), so the plane budget is
-    # 116/1.42 = 81 MB — ~1920 atoms neutral, ~1792 charged.  That range
-    # covers both the HMM's per-qp boxes (~512) and the reference's
-    # charged all-atom OPLS boxes at the 12 A cutoff (>= ~1400 atoms),
-    # where the tile-pair kernel still beats the gather-bound list path
-    # by ~10x.
+    # budget.  Every plane is symmetric and only the upper block
+    # triangle (u >= t, Newton halving) is ever read, so the lj1/lj2
+    # (+ qq) parameter planes are triangle-PACKED (ops/md_fused.
+    # pack_tri_plane: NBLK = NT(NT+1)/2 blocks of (128, 128) f32) and
+    # the 3 min-image cache planes are triangle-packed bf16 (exact —
+    # small integers).  Budget model: packed plane bytes must fit the
+    # kernel's 116 MB scoped-vmem limit divided by the 1.42x calibration
+    # factor measured on the round-3 dense layout (compiler double
+    # buffering + state/channel blocks) -> 81 MB.  Relative to the
+    # round-3 dense planes this is a ~2.5x (charged) footprint cut:
+    # gate moves ~1792 -> ~2816 charged, ~1920 -> ~3200 neutral.
+    # (Re-calibrate the 1.42 against a hardware scoped-vmem report when
+    # raising further.)  Boxes beyond the gate run the gather-list
+    # kernel with the SAME in-kernel mechanisms.
     dense_lj1 = dense_lj2 = dense_qq = None
+    # SCEMA_DENSE_PLANES=1 reverts to the round-3 hardware-proven dense
+    # f32 layout (escape hatch for packed-layout Mosaic regressions;
+    # bench.py retries failed fused phases with it)
+    tri_packed = os.environ.get("SCEMA_DENSE_PLANES", "") != "1"
     npad = MFU.pad_n(n)
-    planes = 5 + (1 if qq_table is not None else 0)
-    allpairs = (planes * npad * npad * 4 <= 81 * 1024 * 1024
+    nt_gate = npad // MFU.LANE
+    n_param = 2 + (1 if qq_table is not None else 0)
+    if tri_packed:
+        tri_bytes = MFU.tri_nblk(nt_gate) * MFU.LANE * MFU.LANE
+        plane_bytes = tri_bytes * (4 * n_param + 2 * 3)  # f32 + bf16 imgs
+    else:
+        plane_bytes = (n_param + 3) * npad * npad * 4
+    allpairs = (plane_bytes <= 81 * 1024 * 1024
                 and not spec.force_list_kernel)
     # boxes beyond the all-pairs VMEM gate run the gather-list kernel
     # with the SAME in-kernel mechanisms: erfc kspace split (remainder
@@ -373,10 +388,14 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
             W = np.array(weights_fn(full))  # copy: jax arrays are read-only
         np.fill_diagonal(W, 0.0)
         npad = MFU.pad_n(n)
+        nt = npad // MFU.LANE
 
         def dense(mat):
             out = np.zeros((npad, npad))
             out[:n, :n] = mat
+            # symmetric + upper-triangle-only reads -> triangle-packed
+            if tri_packed:
+                out = MFU.pack_tri_plane(out, nt)
             return jnp.asarray(out, dtype)
 
         # LAMMPS pair_lj precomputed force coefficients (pair_lj.cpp's
@@ -393,7 +412,9 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
             np.fill_diagonal(Wq, 0.0)
             q = np.asarray(qq_table)
             dense_qq = dense(q[:, None] * q[None, :] * Wq)
-        kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True})
+        kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True,
+                                 "tri_packed": tri_packed,
+                                 "img_bf16": tri_packed})
 
     kspace_fn = kspace_virial_fn = None
     if has_kspace:

@@ -138,6 +138,19 @@ class FusedSpec:
     # outer level (LAMMPS run_style respa's kspace slot) with the split
     # total = [plain cut coulomb, in kernel] + [smooth remainder, frozen]
     fext: bool = False
+    # min-image cache precision: bf16 halves the 3 image planes' VMEM.
+    # Exact, not approximate — the cached values are small integers
+    # (|n| <= 2 even in tilted boxes), exactly representable in bf16;
+    # the kernel converts to f32 before the FMA reconstruction.  Flag
+    # kept so hardware Mosaic issues could fall back to f32 planes.
+    img_bf16: bool = True
+    # triangle-packed parameter planes + min-image cache (pack_tri_plane
+    # layout).  False reverts to the round-3 dense (NPAD, NPAD) planes —
+    # the hardware-proven layout — as a Mosaic-regression escape hatch
+    # (material.py honors SCEMA_DENSE_PLANES=1; bench.py retries a
+    # failed fused phase with it so a packed-layout compile failure
+    # cannot zero a round's MD numbers).
+    tri_packed: bool = True
     # Ewald real-space splitting parameter: > 0 switches the in-kernel
     # Coulomb pair force from plain cut (qq/r^2) to the damped erfc form
     # qq (erfc(a r)/r + 2a/sqrt(pi) exp(-a^2 r^2)) / r^2 — LAMMPS
@@ -165,6 +178,38 @@ _TOPO = 16
 
 # 2/sqrt(pi) — LAMMPS pair_lj_cut_coul_long's EWALD_F
 _EWALD_F = 1.12837916709551257
+
+
+def tri_nblk(nt: int) -> int:
+    """Number of (128, 128) blocks in the upper block triangle."""
+    return nt * (nt + 1) // 2
+
+
+def tri_blk(t: int, u: int, nt: int) -> int:
+    """Packed row-block index of upper-triangle block (t, u), u >= t.
+
+    The all-pairs kernel only ever reads blocks with u >= t (Newton
+    halving), and every per-pair parameter plane is symmetric — so the
+    dense (NPAD, NPAD) planes are stored as their upper block triangle
+    (NBLK*128, 128), a 1/2 * (1 + 1/NT) footprint.  Blocks are ordered
+    t-major: (0,0) (0,1) .. (0,NT-1) (1,1) .."""
+    return t * nt - t * (t - 1) // 2 + (u - t)
+
+
+def pack_tri_plane(dense, nt: int):
+    """Pack a symmetric (NPAD, NPAD) parameter plane into its upper
+    block triangle (NBLK*128, 128): packed block k = tri_blk(t, u)
+    holds dense[u*128:(u+1)*128, t*128:(t+1)*128] (rows = source tile u,
+    lanes = target tile t — the orientation forces_allpairs reads)."""
+    dense = np.asarray(dense)
+    npad = nt * LANE
+    assert dense.shape == (npad, npad), (dense.shape, npad)
+    blocks = []
+    for t in range(nt):
+        for u in range(t, nt):
+            blocks.append(dense[u * LANE:(u + 1) * LANE,
+                                t * LANE:(t + 1) * LANE])
+    return np.concatenate(blocks, axis=0)
 
 
 def erfc_poly(x, ex):
@@ -992,12 +1037,32 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 fzs.append(fz_t.reshape(LANE))
             return (jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs), w6)
 
-        def refresh_images(px, py, pz, h6, jbase=0):
+        def _tri_sl(t, u):
+            """Index of upper-triangle block (t, u) in a parameter plane:
+            a packed row-block (tri_packed, the default) or the dense
+            2-D tile (the round-3 hardware-proven fallback layout)."""
+            if spec.tri_packed:
+                b = tri_blk(t, u, NT)
+                return slice(b * LANE, (b + 1) * LANE)
+            return (slice(u * LANE, (u + 1) * LANE),
+                    slice(t * LANE, (t + 1) * LANE))
+
+        def _img_sl(t, u, j):
+            """Same, for job j's min-image cache planes."""
+            if spec.tri_packed:
+                b = j * tri_nblk(NT) + tri_blk(t, u, NT)
+                return slice(b * LANE, (b + 1) * LANE)
+            return (slice(j * NPAD + u * LANE, j * NPAD + (u + 1) * LANE),
+                    slice(t * LANE, (t + 1) * LANE))
+
+        def refresh_images(px, py, pz, h6, j=0):
             """Recompute min-image integers into VMEM scratch (upper block
-            triangle only — forces never read u < t).  Sequential
-            upper-triangular rounding, sign-flipped so the force path can
-            reconstruct shifts with pure FMAs: d = (r_u - r_t) + n . h.
-            ``jbase`` offsets the scratch rows for job j (j * NPAD)."""
+            triangle only — forces never read u < t; stored triangle-
+            PACKED, see tri_blk, in bf16 when spec.img_bf16 — small
+            integers are exact there).  Sequential upper-triangular
+            rounding, sign-flipped so the force path can reconstruct
+            shifts with pure FMAs: d = (r_u - r_t) + n . h.  Job j's
+            blocks start at packed row-block j * NBLK."""
             lx, ly, lz, xy, xz, yz = h6
             inv_lx, inv_ly, inv_lz = 1.0 / lx, 1.0 / ly, 1.0 / lz
             n1_s, n2_s, n3_s = scratch
@@ -1019,24 +1084,25 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     dy = dy + n2 * ly
                     dx = dx + n3 * xz + n2 * xy
                     n1 = -jnp.round(dx * inv_lx)
-                    sl = (slice(jbase + u * LANE, jbase + (u + 1) * LANE),
-                          slice(t * LANE, (t + 1) * LANE))
-                    n1_s[sl] = n1
-                    n2_s[sl] = n2
-                    n3_s[sl] = n3
+                    sl = _img_sl(t, u, j)
+                    n1_s[sl] = n1.astype(n1_s.dtype)
+                    n2_s[sl] = n2.astype(n2_s.dtype)
+                    n3_s[sl] = n3.astype(n3_s.dtype)
 
-        def forces_allpairs(px, py, pz, h6, jbase=0):
+        def forces_allpairs(px, py, pz, h6, j=0):
             """Tile-pair all-pairs forces: dense (128, 128) blocks, zero
             gathers, Newton-halved.  Block layout [s, l] = pair
             (j = u*128+s source rows, i = t*128+l target lanes); parameter
-            matrices are symmetric so [j, i] indexing reads them directly.
-            Min-image shifts come from the VMEM integer cache (see
-            FusedSpec.img_refresh — exact, not approximate); only blocks
-            u >= t are computed and the reaction on tile u is accumulated
-            through a (128,128) transpose (XLU, concurrent with the VPU
-            pair math).  Pair force uses the LAMMPS lj1/lj2 coefficient
-            form: F/r = (lj1 u^3 - lj2) u^4 with u = 1/r^2 — 5 vector ops
-            against 7 for the sigma^2-power form."""
+            matrices are symmetric and only u >= t blocks are read, so
+            they arrive triangle-PACKED as (NBLK*128, 128) (pack_tri_plane
+            — 43% less VMEM than the dense planes).  Min-image shifts come
+            from the (equally packed, bf16) VMEM integer cache (see
+            FusedSpec.img_refresh — exact, not approximate); the reaction
+            on tile u is accumulated through a (128,128) transpose (XLU,
+            concurrent with the VPU pair math).  Pair force uses the
+            LAMMPS lj1/lj2 coefficient form: F/r = (lj1 u^3 - lj2) u^4
+            with u = 1/r^2 — 5 vector ops against 7 for the
+            sigma^2-power form."""
             lx, ly, lz, xy, xz, yz = h6
             n1_s, n2_s, n3_s = scratch
             # one transpose per source tile per step: lane row -> sublane col
@@ -1057,15 +1123,13 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 zi = pz[t].reshape(1, LANE)
                 for u in range(t, NT):
                     xj, yj, zj = cols[u]
-                    sl = (slice(u * LANE, (u + 1) * LANE),
-                          slice(t * LANE, (t + 1) * LANE))
-                    slj = (slice(jbase + u * LANE, jbase + (u + 1) * LANE),
-                           slice(t * LANE, (t + 1) * LANE))
+                    sl = _tri_sl(t, u)
+                    slj = _img_sl(t, u, j)
                     lj1 = w4e_ref[0][sl]
                     lj2 = sig2_ref[0][sl]
-                    n1 = n1_s[slj]
-                    n2 = n2_s[slj]
-                    n3 = n3_s[slj]
+                    n1 = n1_s[slj].astype(dtype)
+                    n2 = n2_s[slj].astype(dtype)
+                    n3 = n3_s[slj].astype(dtype)
                     dx = xj - xi + n1 * lx + n2 * xy + n3 * xz
                     dy = yj - yi + n2 * ly + n3 * yz
                     dz = zj - zi + n3 * lz
@@ -1136,9 +1200,9 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             if spec.fext:
                 # frozen kspace forces (rRESPA outer level); their virial
                 # is accumulated host-side per chunk, not here
-                fx = fx + fxt_ref[0, 0, jbase // LANE:jbase // LANE + NT]
-                fy = fy + fxt_ref[0, 1, jbase // LANE:jbase // LANE + NT]
-                fz = fz + fxt_ref[0, 2, jbase // LANE:jbase // LANE + NT]
+                fx = fx + fxt_ref[0, 0, j * NT:(j + 1) * NT]
+                fy = fy + fxt_ref[0, 1, j * NT:(j + 1) * NT]
+                fz = fz + fxt_ref[0, 2, j * NT:(j + 1) * NT]
             return fx, fy, fz, w6
 
         def forces(px, py, pz, h6, j=0):
@@ -1146,7 +1210,7 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             if spec.sw:
                 return forces_allpairs_sw(px, py, pz, h6)
             if spec.allpairs:
-                return forces_allpairs(px, py, pz, h6, jbase=j * NPAD)
+                return forces_allpairs(px, py, pz, h6, j=j)
             lx, ly, lz, xy, xz, yz = h6
             fxs, fys, fzs = [], [], []
             w6 = [jnp.zeros((), dtype) for _ in range(6)]
@@ -1261,7 +1325,7 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
         if use_img_cache:
             for j in range(J):
                 refresh_images(st0[j][0], st0[j][1], st0[j][2],
-                               h_of(gstep0[j], j), jbase=j * NPAD)
+                               h_of(gstep0[j], j), j=j)
         f0 = [forces(st0[j][0], st0[j][1], st0[j][2], h_of(gstep0[j], j),
                      j=j) for j in range(J)]
         pacc0 = tuple(jnp.zeros((), dtype) for _ in range(6))
@@ -1374,8 +1438,7 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 for j in range(J):
                     g_j = gstep0[j] + jnp.minimum(s0, n_run[j])
                     refresh_images(carry_o[j][0], carry_o[j][1],
-                                   carry_o[j][2], h_of(g_j, j),
-                                   jbase=j * NPAD)
+                                   carry_o[j][2], h_of(g_j, j), j=j)
                 trips = jnp.minimum(n_run_max - s0, R)
 
                 def inner(si, cc):
@@ -1426,7 +1489,13 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
     dtype = state.dtype
     kern = _make_kernel(spec, deform, sample, thermostat)
     npad = NT * LANE
-    dense_spec = pl.BlockSpec((1, npad, npad), lambda: (0, 0, 0))
+    # all-pairs parameter planes arrive triangle-packed (pack_tri_plane),
+    # or dense (NPAD, NPAD) in the round-3 fallback layout
+    nblk = tri_nblk(NT)
+    if spec.tri_packed:
+        dense_spec = pl.BlockSpec((1, nblk * LANE, LANE), lambda: (0, 0, 0))
+    else:
+        dense_spec = pl.BlockSpec((1, npad, npad), lambda: (0, 0, 0))
     # scalar rows are per-job: accept (_ISCAL,) (the J = 1 convention)
     # or (J, _ISCAL)
     if iscal.ndim == 1:
@@ -1495,10 +1564,18 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
             channels["imy"][None], channels["imz"][None],
         ]
         operand_specs = [nbr_spec] * 6
-    # min-image integer cache for the cached-Newton all-pairs path
+    # min-image integer cache for the cached-Newton all-pairs path —
+    # triangle-packed like the parameter planes, bf16 by default (the
+    # cached values are small integers, exact in bf16; together the two
+    # layouts cut the charged plane budget ~2.5x and raise the VMEM gate)
     scratch_shapes = []
     if spec.allpairs and not spec.sw:
-        scratch_shapes = [pltpu.VMEM((J * npad, npad), dtype)] * 3
+        img_dtype = jnp.bfloat16 if spec.img_bf16 else dtype
+        if spec.tri_packed:
+            scratch_shapes = [pltpu.VMEM((J * nblk * LANE, LANE),
+                                         img_dtype)] * 3
+        else:
+            scratch_shapes = [pltpu.VMEM((J * npad, npad), img_dtype)] * 3
     out = pl.pallas_call(
         kern,
         # wide-K channel sets (OPLS ~232 slots) exceed Mosaic's default

@@ -1,0 +1,104 @@
+"""Round-4 hardware probe: the widened all-pairs VMEM gate.
+
+Round 4 triangle-packed the symmetric parameter planes (pack_tri_plane)
+and moved the min-image cache to triangle-packed bf16, cutting the
+charged all-pairs plane budget ~2.5x — the gate model now admits
+~2816 charged / ~3200 neutral atoms (material.py gate comment).  This
+probe validates the new sizes ON HARDWARE (the gate's 1.42x scoped-vmem
+calibration was measured on the round-3 dense layout) and records the
+throughput ladder, including the charged gather-list fallback above the
+gate (the round-3 verdict's unmeasured path).
+
+Variants (charged all-atom PE, SHAKE + erfc kspace split, 12/9 A):
+  c1792   old gate size, all-pairs        (round-3 baseline 2.25e7)
+  c2240   new-gate mid, all-pairs
+  c2800   new-gate edge, all-pairs
+  c2240L  same box, force_list_kernel     (gather-list fallback rate)
+Neutral united-atom melt:
+  n2048   old gate edge
+  n3200   new gate edge
+  n1728   bench big-box point             (round-3: 7.7e7)
+
+Run: python scripts/probe_r4_gate.py [tags...]   (default: all, safest
+first; each variant compiles its own kernel — budget ~5-10 min each on
+a cold cache).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def throughput(tag, n_jobs=8, n_steps=100, **kw):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scema_tpu.md import material as M
+    from scema_tpu.md import engine as E
+    from scema_tpu.md.homogenization import MDParams
+
+    dt = 1.0
+    spec = M.MaterialSpec(name="probe", **kw)
+    sys_, st0 = M.build_system(spec, dtype=jnp.float32)
+    params = MDParams(temperature=300.0, dt=dt, strain_rate=1e-4,
+                      nsteps_sample=100)
+    st0 = M.equilibrate(sys_, st0, params, jax.random.PRNGKey(0),
+                        minimize_steps=30, equil_steps=20)
+    eps = jnp.zeros((n_jobs, 6), jnp.float32).at[:, 2].set(
+        jnp.linspace(1e-4, 5e-4, n_jobs))
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_jobs,) + x.shape), st0)
+
+    @jax.jit
+    def run(b, e):
+        return jax.vmap(
+            lambda s, ee: E.run_strain(sys_, s, ee, jnp.asarray(n_steps),
+                                       300.0, dt))(b, e)
+
+    t0 = time.perf_counter()
+    out = run(batch, eps)
+    float(np.asarray(out.pos[0, 0, 0]))
+    compile_s = time.perf_counter() - t0
+    best = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run(batch, eps)
+        float(np.asarray(out.pos[0, 0, 0]))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_jobs * sys_.n_atoms * n_steps / best
+    ok = bool(np.isfinite(np.asarray(out.pos)).all())
+    print(f"[{tag}] {rate:.3e} atom-steps/s  ({best:.2f} s/run, compile "
+          f"{compile_s:.0f}s, {sys_.n_atoms} atoms x {n_jobs} jobs, "
+          f"fused={'yes' if sys_.fused is not None else 'NO'}, "
+          f"allpairs={'yes' if getattr(sys_.fused, 'spec', None) is not None and sys_.fused.spec.allpairs else 'no'}, "
+          f"finite={ok})", flush=True)
+    return rate
+
+
+AA = dict(force_field="opls", allatom=True, opls_lj_cutoff=12.0,
+          opls_coul_cutoff=9.0, use_ewald=True, shake=True,
+          kspace_every=10, pe_density=0.68)
+UA = dict(force_field="opls", pe_density=0.70)
+
+VARIANTS = {
+    # chains x length chosen for ~target atom counts (allatom: 8 atoms
+    # per CH2-chain monomer-ish; see build_pe_melt_allatom)
+    "c1792": dict(AA, n_chains=56, chain_length=10),
+    "c2240": dict(AA, n_chains=70, chain_length=10),
+    "c2800": dict(AA, n_chains=88, chain_length=10),
+    "c2240L": dict(AA, n_chains=70, chain_length=10,
+                   force_list_kernel=True),
+    "n2048": dict(UA, n_chains=256, chain_length=8),
+    "n3200": dict(UA, n_chains=400, chain_length=8),
+    "n1728": dict(UA, n_chains=216, chain_length=8),
+}
+
+if __name__ == "__main__":
+    want = sys.argv[1:] or ["c1792", "n1728", "c2240", "c2240L", "n2048",
+                            "c2800", "n3200"]
+    for tag in want:
+        try:
+            throughput(tag, **VARIANTS[tag])
+        except Exception as e:  # noqa: BLE001 — ledger must survive a faulting size
+            print(f"[{tag}] FAILED {type(e).__name__}: {e}", flush=True)

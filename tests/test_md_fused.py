@@ -397,6 +397,38 @@ def test_sw_allpairs_fused_matches_xla():
                        atol=1e3)
 
 
+def test_dense_plane_fallback_matches_packed(monkeypatch):
+    """SCEMA_DENSE_PLANES=1 (the round-3 dense f32 plane layout — the
+    Mosaic escape hatch bench.py retries failed fused phases with) is
+    bit-identical to the default triangle-packed bf16-image layout: the
+    packed planes hold the same values at the same (t, u) blocks, and
+    the cached image integers are exact in bf16."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    common = dict(name="m", force_field="opls", n_chains=32, chain_length=6,
+                  opls_lj_cutoff=6.0, opls_coul_cutoff=6.0, validate=False,
+                  rebuild_every=10, use_fused=True)
+    sys_p, st = M.build_system(M.MaterialSpec(**common))
+    assert sys_p.fused.spec.allpairs and sys_p.fused.spec.tri_packed
+    monkeypatch.setenv("SCEMA_DENSE_PLANES", "1")
+    sys_d, _ = M.build_system(M.MaterialSpec(**common))
+    assert not sys_d.fused.spec.tri_packed
+    assert not sys_d.fused.spec.img_bf16
+
+    st = E.minimize_fire(sys_p, st, n_steps=100, dt0=0.5)
+    st = st._replace(vel=E.maxwell_velocities(sys_p, jax.random.PRNGKey(5),
+                                              80.0))
+    params = MDParams(temperature=80.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, -0.01, 0.02, 0.0, 0.004, 0.0])
+    out_p, sig_p = strain_and_homogenize(sys_p, st, dl, params)
+    out_d, sig_d = strain_and_homogenize(sys_d, st, dl, params)
+    assert np.array_equal(np.asarray(out_d.pos), np.asarray(out_p.pos))
+    assert np.array_equal(np.asarray(out_d.vel), np.asarray(out_p.vel))
+    assert np.array_equal(np.asarray(sig_d), np.asarray(sig_p))
+
+
 def test_inactive_job_is_exact_noop():
     """Padding-slot jobs (active=False) leave the microstate bit-unchanged
     and cost one dt=0 step (a zero-trip dynamic fori_loop would hang
