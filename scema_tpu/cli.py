@@ -373,9 +373,12 @@ def cmd_strain_md(args) -> int:
         # the reference's microstate-dump column set (id type xs ys zs
         # vx vy vz ix iy iz, stmd_problem.h:262) so analyse-md can
         # re-homogenize the dump like anmd_problem.h:100-179 does
+        # atom types live on the force field (opls.OPLSFF.types etc.),
+        # not MDSystem; fall back to single-type when the ff has none
+        ff_types = getattr(sys_.ff, "types", None)
         write_lammpstrj(args.dump, np.asarray(st.pos), np.asarray(st.h),
-                        types=np.asarray(sys_.type) if hasattr(sys_, "type")
-                        else None,
+                        types=None if ff_types is None
+                        else np.asarray(ff_types),
                         vel=np.asarray(st.vel), style="custom_scaled")
         print(f"microstate dump written to {args.dump}")
     return 0
