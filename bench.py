@@ -473,10 +473,15 @@ def _run_phase_subprocess(name, budget_s, env=None):
         return None, f"rc={r.returncode} after {took:.0f}s ({detail})"
     for line in reversed((r.stdout or "").strip().splitlines()):
         try:
-            return json.loads(line), None
+            d = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
-    return None, f"no JSON line in phase output after {took:.0f}s"
+        # only a JSON OBJECT is a phase result — a stray numeric/quoted
+        # stdout line must not reach result.update() (TypeError would
+        # kill the whole driver and every collected metric)
+        if isinstance(d, dict):
+            return d, None
+    return None, f"no JSON dict line in phase output after {took:.0f}s"
 
 
 def _finalize(result, errors):

@@ -65,7 +65,12 @@ def reduce_graph(adj: jax.Array, max_picks: int = 512,
     mapping, active = jax.lax.fori_loop(
         0, min(n, max_picks), body, (ids, active0))
     if return_saturated:
-        return mapping, jnp.any(active)
+        # saturated means dedup was actually truncated: an EDGE between
+        # two still-active nodes remains.  Leftover active nodes with
+        # zero live degree keep the identity mapping either way (their
+        # neighbors were consumed by earlier picks) — not a truncation.
+        live = adj & active[:, None] & active[None, :]
+        return mapping, jnp.any(live)
     return mapping
 
 

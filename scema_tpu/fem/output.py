@@ -283,8 +283,19 @@ class OutputWriter:
         for k, c in enumerate(comp):
             point_data[f"stress_{c}"] = stress[:, k]
         fname = f"history-{timestep:06d}.vtu"
-        write_vtu(os.path.join(self.outdir, fname), dg_nodes, dg_cells,
-                  point_data, {})
+        # same native-binary switch as write_visualisation — the DG mesh
+        # carries 8x the point count and 12 scalar arrays, so the ASCII
+        # Python writer would block the step loop for seconds at
+        # production sizes
+        path = os.path.join(self.outdir, fname)
+        wrote = False
+        if n_cells >= 4096:
+            from ..native import write_vtu_native
+
+            wrote = write_vtu_native(path, dg_nodes, dg_cells,
+                                     point_data, {})
+        if not wrote:
+            write_vtu(path, dg_nodes, dg_cells, point_data, {})
         base = f"history-{timestep:06d}"
         write_pvtu(os.path.join(self.outdir, base + ".pvtu"), [fname],
                    point_data, {})

@@ -518,7 +518,9 @@ def write_lammpstrj(path: str, pos, h, types=None, timestep: int = 0,
     h = np.asarray(h)
     n = len(pos)
     if types is None:
-        types = np.ones(n, dtype=int)
+        # zero-based internal types; the writer prints type+1 (LAMMPS
+        # 1-based), so the single-type default must be 0, not 1
+        types = np.zeros(n, dtype=int)
     mode = "a" if append else "w"
     with open(path, mode) as f:
         f.write("ITEM: TIMESTEP\n%d\n" % timestep)

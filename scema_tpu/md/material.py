@@ -387,15 +387,13 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
         if weights_fn is not None:
             W = np.array(weights_fn(full))  # copy: jax arrays are read-only
         np.fill_diagonal(W, 0.0)
-        npad = MFU.pad_n(n)
-        nt = npad // MFU.LANE
 
         def dense(mat):
             out = np.zeros((npad, npad))
             out[:n, :n] = mat
             # symmetric + upper-triangle-only reads -> triangle-packed
             if tri_packed:
-                out = MFU.pack_tri_plane(out, nt)
+                out = MFU.pack_tri_plane(out, nt_gate)
             return jnp.asarray(out, dtype)
 
         # LAMMPS pair_lj precomputed force coefficients (pair_lj.cpp's

@@ -81,6 +81,34 @@ def test_reduce_graph_matches_networkx():
         assert (got_host == expect).all(), trial
 
 
+def test_reduce_graph_saturation_flag():
+    """return_saturated is True only when an EDGE between two still-
+    active nodes survives the pick cap (dedup actually truncated), not
+    when leftover active nodes merely have zero live degree (their
+    neighbors were consumed by earlier picks — identity mapping is the
+    converged answer there)."""
+    # star + pendant: one pick (node 0) consumes 1 and 2; node 3's only
+    # edge went with 1 -> converged in one pick, must NOT report saturated
+    adj = np.zeros((4, 4), bool)
+    for a, b in [(0, 1), (0, 2), (1, 3)]:
+        adj[a, b] = adj[b, a] = True
+    m, sat = reduce_graph(jnp.asarray(adj), max_picks=1,
+                          return_saturated=True)
+    assert (np.asarray(m) == [0, 0, 0, 3]).all()
+    assert not bool(sat)
+    # two disjoint edges, one pick: edge (2, 3) remains -> truncated
+    adj2 = np.zeros((4, 4), bool)
+    for a, b in [(0, 1), (2, 3)]:
+        adj2[a, b] = adj2[b, a] = True
+    m2, sat2 = reduce_graph(jnp.asarray(adj2), max_picks=1,
+                            return_saturated=True)
+    assert bool(sat2)
+    # with enough picks the same graph converges -> not saturated
+    _, sat3 = reduce_graph(jnp.asarray(adj2), max_picks=4,
+                           return_saturated=True)
+    assert not bool(sat3)
+
+
 def test_adjacency_respects_flags_and_threshold():
     s = jnp.asarray([[0.0] * 6, [1e-8] * 6, [1.0] * 6, [0.0] * 6])
     flagged = jnp.asarray([True, True, True, False])
