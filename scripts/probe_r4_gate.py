@@ -76,6 +76,51 @@ def throughput(tag, n_jobs=8, n_steps=100, **kw):
     return rate
 
 
+def parity():
+    """ON-HARDWARE packed-vs-dense check (run FIRST): a short charged
+    trajectory on the triangle-packed layout must match the round-3
+    dense layout to f32 round-off.  The CPU interpret-mode test
+    (test_dense_plane_fallback_matches_packed) proves the semantics; a
+    Mosaic layout miscompile on real silicon would only show up here."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scema_tpu.md import material as M
+    from scema_tpu.md import engine as E
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    kw = dict(AA, n_chains=16, chain_length=10)  # 512 atoms, fast compile
+
+    def traj():
+        spec = M.MaterialSpec(name="par", **kw)
+        sys_, st = M.build_system(spec, dtype=jnp.float32)
+        st = E.minimize_fire(sys_, st, n_steps=50, dt0=0.25)
+        params = MDParams(temperature=300.0, dt=1.0, strain_rate=1e-4,
+                          nsteps_sample=20)
+        dl = jnp.asarray([1e-3, 0.0, -1e-3, 0.0, 0.0, 0.0], jnp.float32)
+        out, sig = strain_and_homogenize(sys_, st, dl, params)
+        return np.asarray(out.pos), np.asarray(sig), sys_.fused.spec
+
+    pos_p, sig_p, sp = traj()
+    assert sp.tri_packed, "default build is not packed?"
+    os.environ["SCEMA_DENSE_PLANES"] = "1"
+    try:
+        pos_d, sig_d, sd = traj()
+    finally:
+        del os.environ["SCEMA_DENSE_PLANES"]
+    assert not sd.tri_packed
+    ok_pos = np.allclose(pos_p, pos_d, atol=1e-4)
+    ok_sig = np.allclose(sig_p, sig_d, rtol=1e-5, atol=1e3)
+    print(f"[parity] packed vs dense on hardware: pos={ok_pos} "
+          f"sig={ok_sig}  max|dpos|={np.abs(pos_p - pos_d).max():.2e}",
+          flush=True)
+    if not (ok_pos and ok_sig):
+        raise AssertionError("packed layout diverges from dense on "
+                             "hardware — do NOT trust the ladder; run "
+                             "with SCEMA_DENSE_PLANES=1")
+    return 1.0
+
+
 AA = dict(force_field="opls", allatom=True, opls_lj_cutoff=12.0,
           opls_coul_cutoff=9.0, use_ewald=True, shake=True,
           kspace_every=10, pe_density=0.68)
@@ -95,10 +140,13 @@ VARIANTS = {
 }
 
 if __name__ == "__main__":
-    want = sys.argv[1:] or ["c1792", "n1728", "c2240", "c2240L", "n2048",
-                            "c2800", "n3200"]
+    want = sys.argv[1:] or ["parity", "c1792", "n1728", "c2240", "c2240L",
+                            "n2048", "c2800", "n3200"]
     for tag in want:
         try:
-            throughput(tag, **VARIANTS[tag])
+            if tag == "parity":
+                parity()
+            else:
+                throughput(tag, **VARIANTS[tag])
         except Exception as e:  # noqa: BLE001 — ledger must survive a faulting size
             print(f"[{tag}] FAILED {type(e).__name__}: {e}", flush=True)
