@@ -89,7 +89,10 @@ def parity():
     from scema_tpu.md import engine as E
     from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
 
-    kw = dict(AA, n_chains=16, chain_length=10)  # 512 atoms, fast compile
+    # 1792 atoms: smallest box whose min height clears the 12+1 A
+    # minimum-image bound at pe_density=0.68 (512 atoms measured 17.71 A
+    # min height < 2*13 A and is rejected by build_system)
+    kw = dict(AA, n_chains=56, chain_length=10)
 
     def traj():
         spec = M.MaterialSpec(name="par", **kw)
