@@ -346,15 +346,12 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
     # (+ qq) parameter planes are triangle-PACKED (ops/md_fused.
     # pack_tri_plane: NBLK = NT(NT+1)/2 blocks of (128, 128) f32) and
     # the 3 min-image cache planes are triangle-packed bf16 (exact —
-    # small integers).  Budget model: packed plane bytes must fit the
-    # kernel's 116 MB scoped-vmem limit divided by the 1.42x calibration
-    # factor measured on the round-3 dense layout (compiler double
-    # buffering + state/channel blocks) -> 81 MB.  Relative to the
-    # round-3 dense planes this is a ~2.5x (charged) footprint cut:
-    # gate moves ~1792 -> ~2816 charged, ~1920 -> ~3200 neutral.
-    # (Re-calibrate the 1.42 against a hardware scoped-vmem report when
-    # raising further.)  Boxes beyond the gate run the gather-list
-    # kernel with the SAME in-kernel mechanisms.
+    # small integers).  Budget model: dense-equivalent plane bytes must
+    # fit the kernel's 116 MB scoped-vmem limit divided by the 1.42x
+    # calibration factor measured on the round-3 dense layout (compiler
+    # double buffering + state/channel blocks) -> 81 MB, i.e. the gate
+    # admits ~1792 charged / ~1920 neutral atoms.  Boxes beyond the gate
+    # run the gather-list kernel with the SAME in-kernel mechanisms.
     dense_lj1 = dense_lj2 = dense_qq = None
     # SCEMA_DENSE_PLANES=1 reverts to the round-3 hardware-proven dense
     # f32 layout (escape hatch for packed-layout Mosaic regressions;
@@ -363,11 +360,16 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
     npad = MFU.pad_n(n)
     nt_gate = npad // MFU.LANE
     n_param = 2 + (1 if qq_table is not None else 0)
-    if tri_packed:
-        tri_bytes = MFU.tri_nblk(nt_gate) * MFU.LANE * MFU.LANE
-        plane_bytes = tri_bytes * (4 * n_param + 2 * 3)  # f32 + bf16 imgs
-    else:
-        plane_bytes = (n_param + 3) * npad * npad * 4
+    # GATE ADMISSION is computed on the DENSE-layout footprint even when
+    # tri-packing is on: the round-4 hardware ladder (PLAN_NEXT "HARDWARE
+    # gate ladder") measured that although the packed layout is bit-exact
+    # and fits the model's budget up to NT~22, Mosaic's register
+    # allocator spills ~67 MB above NT=14 and the kernel runs 3x SLOWER
+    # than the work ratio — the widened gate was a pessimization, not a
+    # lever.  Tri-packing therefore buys VMEM *headroom* below the
+    # round-3-calibrated gate (1792 charged / 1920 neutral), not wider
+    # admission.
+    plane_bytes = (n_param + 3) * npad * npad * 4
     allpairs = (plane_bytes <= 81 * 1024 * 1024
                 and not spec.force_list_kernel)
     # boxes beyond the all-pairs VMEM gate run the gather-list kernel
