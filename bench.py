@@ -37,7 +37,7 @@ import time
 #      budget (one wedged Mosaic compile can no longer eat the round);
 #   3. a total wall budget after which remaining phases are skipped and
 #      whatever accumulated is flushed.  The headline phase runs first.
-PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_S", 90))
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_S", 150))
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_S", 1800))
 
 # Derivation (BASELINE.md "Grounding the 10x denominator"): the public
