@@ -100,6 +100,10 @@ class MaterialSpec:
     # sizes (production leaves this False; the gate picks all-pairs
     # whenever it fits because it is ~10x faster)
     force_list_kernel: bool = False
+    # force HBM-streamed neighbor channels on the list kernel at this
+    # K-chunk width (test hook; 0 = auto — stream only when the channel
+    # set would not fit the kernel's VMEM window, see _build_fused_runner)
+    force_k_chunk: int = 0
     # reax extras (force_field="reax"): ffield.reax path, pair_coeff
     # element order (in.set.lammps: `pair_coeff * * ${locf} H C N O`),
     # charge equilibration on/off, bonded-neighbor gather width
@@ -415,6 +419,26 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
         kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True,
                                  "tri_packed": tri_packed,
                                  "img_bf16": tri_packed})
+    else:
+        # gather-list path: stream the (K, NT, 128) channel set from HBM
+        # in double-buffered K-chunks when it would not fit the kernel's
+        # VMEM window.  The round-4 hardware ladder measured the
+        # windowed (whole-channel-resident) form OOM at the FIRST
+        # above-all-pairs-gate charged size (K~1112, NT=18: 7 channels
+        # x 13 MB sublane-padded + 67 MB spill > 128 MB physical VMEM);
+        # streaming removes the ceiling — HBM holds O(N K), VMEM two
+        # chunks.  48 MB keeps the hardware-proven resident form at
+        # every legacy size.
+        kc = spec.force_k_chunk
+        n_ch = 6 + (1 if qq_table is not None else 0)
+        nt_pad = -(-nt_gate // 8) * 8  # Mosaic sublane padding
+        ch_bytes = n_ch * kspec.k * nt_pad * MFU.LANE * 4
+        if kc == 0 and ch_bytes > 48 * 1024 * 1024:
+            kc = 128
+        if kc:
+            k_pad = -(-kspec.k // kc) * kc  # dead slots carry w4e = 0
+            kspec = MFU.FusedSpec(**{**kspec.__dict__, "k": k_pad,
+                                     "k_chunk": kc})
 
     kspace_fn = kspace_virial_fn = None
     if has_kspace:

@@ -162,6 +162,17 @@ class FusedSpec:
     # the genuinely smooth part (no dense (N, N) erf term re-evaluated
     # per chunk).  All-pairs mode only.
     ewald_alpha: float = 0.0
+    # HBM-streamed neighbor channels (gather-list mode only): when > 0,
+    # the (K, NT, 128) channel set stays in HBM (memory_space ANY) and
+    # the pair loop walks it in K-chunks of ``k_chunk`` slots with
+    # double-buffered async copies into VMEM scratch.  Removes the list
+    # kernel's VMEM size ceiling entirely — the round-4 hardware ladder
+    # measured the windowed form OOM at the first above-all-pairs-gate
+    # charged size (K~1112 at a 12 A cutoff: 7 channels x 13 MB + 67 MB
+    # of register-allocator spill slots > 128 MB physical VMEM).  The
+    # channels scale O(N K) in HBM; VMEM holds 2 x k_chunk slots.
+    # Requires k % k_chunk == 0 (material.py pads K up).
+    k_chunk: int = 0
 
 
 # topo channel rows (chain-structured bonded terms; term k starts at atom k)
@@ -820,19 +831,20 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
 
     def gather3(px, py, pz, idx_t):
         """Gather 3 position channels for one center tile's slot indices."""
-        gx = jnp.zeros((K, LANE), px.dtype)
-        gy = jnp.zeros((K, LANE), px.dtype)
-        gz = jnp.zeros((K, LANE), px.dtype)
+        kk = idx_t.shape[0]  # K resident, or k_chunk streamed
+        gx = jnp.zeros((kk, LANE), px.dtype)
+        gy = jnp.zeros((kk, LANE), px.dtype)
+        gz = jnp.zeros((kk, LANE), px.dtype)
         tile_of = idx_t >> 7
         lane_of = jnp.bitwise_and(idx_t, LANE - 1)
         for p in range(P):
             sel = tile_of == p
             gx = jnp.where(sel, jnp.take_along_axis(
-                jnp.broadcast_to(px[p][None, :], (K, LANE)), lane_of, axis=1), gx)
+                jnp.broadcast_to(px[p][None, :], (kk, LANE)), lane_of, axis=1), gx)
             gy = jnp.where(sel, jnp.take_along_axis(
-                jnp.broadcast_to(py[p][None, :], (K, LANE)), lane_of, axis=1), gy)
+                jnp.broadcast_to(py[p][None, :], (kk, LANE)), lane_of, axis=1), gy)
             gz = jnp.where(sel, jnp.take_along_axis(
-                jnp.broadcast_to(pz[p][None, :], (K, LANE)), lane_of, axis=1), gz)
+                jnp.broadcast_to(pz[p][None, :], (kk, LANE)), lane_of, axis=1), gz)
         return gx, gy, gz
 
     def kernel(iscal_ref, fscal_ref, state_ref, idx_ref, w4e_ref, sig2_ref,
@@ -1212,15 +1224,11 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             if spec.allpairs:
                 return forces_allpairs(px, py, pz, h6, j=j)
             lx, ly, lz, xy, xz, yz = h6
-            fxs, fys, fzs = [], [], []
-            w6 = [jnp.zeros((), dtype) for _ in range(6)]
-            for t in range(NT):
-                idx_t = idx_ref[0, :, t, :]
-                w4e = w4e_ref[0, :, t, :]
-                sig2 = sig2_ref[0, :, t, :]
-                nx = imx_ref[0, :, t, :]
-                ny = imy_ref[0, :, t, :]
-                nz = imz_ref[0, :, t, :]
+
+            def pair_tile(t, idx_t, w4e, sig2, nx, ny, nz, qq, w6):
+                """Pair forces on center tile t from one slot window —
+                the full (K,) column set resident, or one streamed
+                k_chunk of it."""
                 gx, gy, gz = gather3(px, py, pz, idx_t)
                 dx = gx - px[t][None, :] + nx * lx + ny * xy + nz * xz
                 dy = gy - py[t][None, :] + ny * ly + nz * yz
@@ -1235,7 +1243,6 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     live, 6.0 * w4e * (2.0 * s6 * s6 - s6) * inv_r2, 0.0
                 )
                 if spec.coul:
-                    qq = qq_ref[0, :, t, :]
                     livec = (r2 < spec.coul_cutoff2) & (r2 > spec.r2min)
                     inv_r = jax.lax.rsqrt(r2c)
                     if spec.ewald_alpha > 0.0:
@@ -1244,18 +1251,90 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     else:
                         fcoul = qq * inv_r * inv_r2
                     fpair = fpair + jnp.where(livec, fcoul, 0.0)
-                fxs.append(-jnp.sum(fpair * dx, axis=0))
-                fys.append(-jnp.sum(fpair * dy, axis=0))
-                fzs.append(-jnp.sum(fpair * dz, axis=0))
+                tfx = -jnp.sum(fpair * dx, axis=0)
+                tfy = -jnp.sum(fpair * dy, axis=0)
+                tfz = -jnp.sum(fpair * dz, axis=0)
                 if sample:
                     # pair virial sum w (x) d; full list double-counts -> 0.5
-                    w6[0] += 0.5 * jnp.sum(fpair * dx * dx)
-                    w6[1] += 0.5 * jnp.sum(fpair * dy * dy)
-                    w6[2] += 0.5 * jnp.sum(fpair * dz * dz)
-                    w6[3] += 0.5 * jnp.sum(fpair * dx * dy)
-                    w6[4] += 0.5 * jnp.sum(fpair * dx * dz)
-                    w6[5] += 0.5 * jnp.sum(fpair * dy * dz)
-            fx, fy, fz = jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs)
+                    w6 = [
+                        w6[0] + 0.5 * jnp.sum(fpair * dx * dx),
+                        w6[1] + 0.5 * jnp.sum(fpair * dy * dy),
+                        w6[2] + 0.5 * jnp.sum(fpair * dz * dz),
+                        w6[3] + 0.5 * jnp.sum(fpair * dx * dy),
+                        w6[4] + 0.5 * jnp.sum(fpair * dx * dz),
+                        w6[5] + 0.5 * jnp.sum(fpair * dy * dz),
+                    ]
+                return tfx, tfy, tfz, w6
+
+            w6 = [jnp.zeros((), dtype) for _ in range(6)]
+            if spec.k_chunk:
+                # HBM-streamed channels: double-buffered K-chunk DMAs
+                # (guide "Patterns: Double Buffering"); the channel refs
+                # are memory_space=ANY and never read directly.
+                KC = spec.k_chunk
+                NKC = K // KC
+                n_stream = 7 if spec.coul else 6
+                bufs = scratch[:n_stream]
+                sems = scratch[n_stream]
+                hbm = [idx_ref, w4e_ref, sig2_ref, imx_ref, imy_ref,
+                       imz_ref] + ([qq_ref] if spec.coul else [])
+
+                def get_dma(i, slot, c):
+                    return pltpu.make_async_copy(
+                        hbm[i].at[0, pl.ds(c * KC, KC)],
+                        bufs[i].at[slot], sems.at[slot, i])
+
+                def start_all(slot, c):
+                    for i in range(n_stream):
+                        get_dma(i, slot, c).start()
+
+                def wait_all(slot, c):
+                    for i in range(n_stream):
+                        get_dma(i, slot, c).wait()
+
+                start_all(0, 0)
+                zero = jnp.zeros((NT, LANE), dtype)
+
+                def kc_body(c, carry):
+                    fxc, fyc, fzc = carry[:3]
+                    w6c = list(carry[3:])
+                    slot = jax.lax.rem(c, 2)
+
+                    @pl.when(c + 1 < NKC)
+                    def _():
+                        start_all(1 - slot, c + 1)
+
+                    wait_all(slot, c)
+                    pfx, pfy, pfz = [], [], []
+                    for t in range(NT):
+                        qq = bufs[6][slot, :, t, :] if spec.coul else None
+                        tfx, tfy, tfz, w6c = pair_tile(
+                            t, bufs[0][slot, :, t, :],
+                            bufs[1][slot, :, t, :], bufs[2][slot, :, t, :],
+                            bufs[3][slot, :, t, :], bufs[4][slot, :, t, :],
+                            bufs[5][slot, :, t, :], qq, w6c)
+                        pfx.append(tfx)
+                        pfy.append(tfy)
+                        pfz.append(tfz)
+                    return (fxc + jnp.stack(pfx), fyc + jnp.stack(pfy),
+                            fzc + jnp.stack(pfz), *w6c)
+
+                out = jax.lax.fori_loop(
+                    0, NKC, kc_body, (zero, zero, zero, *w6))
+                fx, fy, fz = out[:3]
+                w6 = list(out[3:])
+            else:
+                fxs, fys, fzs = [], [], []
+                for t in range(NT):
+                    qq = qq_ref[0, :, t, :] if spec.coul else None
+                    tfx, tfy, tfz, w6 = pair_tile(
+                        t, idx_ref[0, :, t, :], w4e_ref[0, :, t, :],
+                        sig2_ref[0, :, t, :], imx_ref[0, :, t, :],
+                        imy_ref[0, :, t, :], imz_ref[0, :, t, :], qq, w6)
+                    fxs.append(tfx)
+                    fys.append(tfy)
+                    fzs.append(tfz)
+                fx, fy, fz = jnp.stack(fxs), jnp.stack(fys), jnp.stack(fzs)
             if spec.bonded:
                 rows = topo_ref[0]
                 bfx, bfy, bfz, bw6 = bonded_chain_forces(
@@ -1510,6 +1589,9 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
     elif spec.allpairs:
         qq_spec = dense_spec
         qq = qq[None]
+    elif spec.k_chunk:
+        qq_spec = pl.BlockSpec(memory_space=pl.ANY)
+        qq = qq[None]
     else:
         qq_spec = pl.BlockSpec((1, K, NT, LANE), lambda: (0, 0, 0, 0))
         qq = qq[None]
@@ -1557,7 +1639,14 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
         operand_specs = [ph_spec, w4e_sp, sig2_sp,
                          ph_spec, ph_spec, ph_spec]
     else:
-        nbr_spec = pl.BlockSpec((1, K, NT, LANE), lambda: (0, 0, 0, 0))
+        if spec.k_chunk:
+            # HBM-streamed channels: the kernel double-buffers K-chunks
+            # into VMEM scratch (no whole-channel VMEM window)
+            assert K % spec.k_chunk == 0, \
+                f"k={K} must be a multiple of k_chunk={spec.k_chunk}"
+            nbr_spec = pl.BlockSpec(memory_space=pl.ANY)
+        else:
+            nbr_spec = pl.BlockSpec((1, K, NT, LANE), lambda: (0, 0, 0, 0))
         operands = [
             channels["idx"][None], channels["w4e"][None],
             channels["sig2"][None], channels["imx"][None],
@@ -1576,6 +1665,17 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
                                          img_dtype)] * 3
         else:
             scratch_shapes = [pltpu.VMEM((J * npad, npad), img_dtype)] * 3
+    elif spec.k_chunk and not spec.sw:
+        # streamed-list double buffers: one (2, KC, NT, LANE) buffer per
+        # channel (idx int32, the rest dtype) + a DMA semaphore per
+        # (slot, channel)
+        n_stream = 7 if spec.coul else 6
+        KC = spec.k_chunk
+        scratch_shapes = (
+            [pltpu.VMEM((2, KC, NT, LANE), jnp.int32)]
+            + [pltpu.VMEM((2, KC, NT, LANE), dtype)] * (n_stream - 1)
+            + [pltpu.SemaphoreType.DMA((2, n_stream))]
+        )
     out = pl.pallas_call(
         kern,
         # wide-K channel sets (OPLS ~232 slots) exceed Mosaic's default

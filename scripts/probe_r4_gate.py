@@ -124,6 +124,51 @@ def parity():
     return 1.0
 
 
+def sparity():
+    """ON-HARDWARE streamed-list vs all-pairs check: a short charged
+    strained trajectory through the HBM-streamed list kernel
+    (FusedSpec.k_chunk — auto-selected at this size, ~64 MB channel
+    window > the 48 MB resident bound) must match the all-pairs exact
+    path to summation-order tolerance.  The CPU interpret-mode test
+    (test_allatom_streamed_list_kernel_matches_resident) proves the
+    semantics; this catches a Mosaic DMA/layout miscompile on silicon."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scema_tpu.md import material as M
+    from scema_tpu.md import engine as E
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    kw = dict(AA, n_chains=56, chain_length=10)
+
+    def traj(**extra):
+        spec = M.MaterialSpec(name="spar", **kw, **extra)
+        sys_, st = M.build_system(spec, dtype=jnp.float32)
+        st = E.minimize_fire(sys_, st, n_steps=50, dt0=0.25)
+        params = MDParams(temperature=300.0, dt=1.0, strain_rate=1e-4,
+                          nsteps_sample=20)
+        dl = jnp.asarray([1e-3, 0.0, -1e-3, 0.0, 0.0, 0.0], jnp.float32)
+        out, sig = strain_and_homogenize(sys_, st, dl, params)
+        return np.asarray(out.pos), np.asarray(sig), sys_.fused.spec
+
+    pos_a, sig_a, sa = traj()
+    assert sa.allpairs and sa.k_chunk == 0
+    pos_s, sig_s, ss = traj(force_list_kernel=True)
+    assert not ss.allpairs and ss.k_chunk > 0, \
+        f"expected auto-streamed list kernel, got k_chunk={ss.k_chunk}"
+    dpos = np.abs(pos_s - pos_a).max()
+    scale = np.abs(sig_a).max()
+    ok_pos = np.allclose(pos_s, pos_a, atol=1e-3)
+    ok_sig = np.allclose(sig_s, sig_a, atol=scale * 1e-3 + 1e3)
+    print(f"[sparity] streamed-list vs all-pairs on hardware: pos={ok_pos} "
+          f"sig={ok_sig}  max|dpos|={dpos:.2e}  k_chunk={ss.k_chunk} "
+          f"K={ss.k}", flush=True)
+    if not (ok_pos and ok_sig):
+        raise AssertionError("streamed list kernel diverges from "
+                             "all-pairs on hardware")
+    return 1.0
+
+
 AA = dict(force_field="opls", allatom=True, opls_lj_cutoff=12.0,
           opls_coul_cutoff=9.0, use_ewald=True, shake=True,
           kspace_every=10, pe_density=0.68)
@@ -137,6 +182,18 @@ VARIANTS = {
     "c2800": dict(AA, n_chains=88, chain_length=10),
     "c2240L": dict(AA, n_chains=70, chain_length=10,
                    force_list_kernel=True),
+    # HBM-streamed neighbor channels (FusedSpec.k_chunk): c2240L now
+    # auto-streams (its ~96 MB channel window exceeds the 48 MB resident
+    # bound), so re-running it measures the streamed kernel at the size
+    # where the resident form OOM'd.  c4480S doubles the box to show the
+    # ceiling is gone (4480 atoms, NT=35 — far beyond any VMEM window).
+    "c4480S": dict(AA, n_chains=140, chain_length=10,
+                   force_list_kernel=True),
+    # below-gate list-kernel point (auto-streams too: at the 12 A cutoff
+    # K~1112 puts even the NT=14 channel window at ~64 MB) — the rate
+    # here vs all-pairs c1792 prices the list fallback per se
+    "c1792L": dict(AA, n_chains=56, chain_length=10,
+                   force_list_kernel=True),
     "n2048": dict(UA, n_chains=256, chain_length=8),
     "n3200": dict(UA, n_chains=400, chain_length=8),
     "n1728": dict(UA, n_chains=216, chain_length=8),
@@ -149,6 +206,8 @@ if __name__ == "__main__":
         try:
             if tag == "parity":
                 parity()
+            elif tag == "sparity":
+                sparity()
             else:
                 throughput(tag, **VARIANTS[tag])
         except Exception as e:  # noqa: BLE001 — ledger must survive a faulting size

@@ -268,3 +268,39 @@ def test_allatom_inactive_job_noop():
                                    active=jnp.asarray(False))
     assert np.array_equal(np.asarray(o_i.pos), np.asarray(st.pos))
     assert np.array_equal(np.asarray(o_i.vel), np.asarray(st.vel))
+
+
+@pytest.mark.slow
+def test_allatom_streamed_list_kernel_matches_resident():
+    """HBM-streamed neighbor channels (FusedSpec.k_chunk): the list
+    kernel double-buffers K-chunks of the (K, NT, 128) channel set from
+    HBM instead of windowing it whole into VMEM — the above-all-pairs-
+    gate fallback for charged boxes whose channel set exceeds VMEM (the
+    round-4 hardware ladder measured the windowed form OOM at K~1112 /
+    NT=18: 7 x 13 MB channels + 67 MB spill > 128 MB).  Same math, same
+    slots, chunked summation order — must match the resident list
+    kernel to float-accumulation tolerance through a full charged
+    SHAKE+kspace strain/sample run (ref workload: stmd_problem.h:190-194
+    strained NVT with pppm every step)."""
+    c = dict(COMMON, use_ewald=True)
+    sys_r, st = M.build_system(M.MaterialSpec(**c, use_fused=True,
+                                              force_list_kernel=True))
+    sys_s, _ = M.build_system(M.MaterialSpec(**c, use_fused=True,
+                                             force_list_kernel=True,
+                                             force_k_chunk=8))
+    rs, ss = sys_r.fused.spec, sys_s.fused.spec
+    assert rs.k_chunk == 0 and ss.k_chunk == 8
+    assert ss.k % ss.k_chunk == 0 and ss.coul
+    st = E.minimize_fire(sys_r, st, n_steps=50, dt0=0.25)
+    st = st._replace(vel=E.maxwell_velocities(sys_r, jax.random.PRNGKey(1),
+                                              50.0))
+    params = MDParams(temperature=50.0, dt=0.5, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, 0.0, -0.01, 0.0, 0.0, 0.002])
+    out_r, sig_r = strain_and_homogenize(sys_r, st, dl, params)
+    out_s, sig_s = strain_and_homogenize(sys_s, st, dl, params)
+    assert np.allclose(np.asarray(out_s.pos), np.asarray(out_r.pos),
+                       atol=1e-4)
+    scale = np.abs(np.asarray(sig_r)).max()
+    assert np.allclose(np.asarray(sig_s), np.asarray(sig_r),
+                       atol=scale * 1e-4 + 1e3)
