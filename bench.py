@@ -40,6 +40,28 @@ import time
 PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_S", 150))
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_S", 1800))
 
+# Persistent XLA compilation cache, shared across bench runs.  Measured
+# through the axon relay: the fused-kernel compiles that blew the 420 s
+# phase budgets when the relay ran slow (md_fused's first compile was
+# observed at ~880 s during a relay brown-out) come back as cache hits
+# in seconds on later runs.  The cache lives in-repo so the driver's
+# end-of-round bench reuses the entries warmed during the round.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+
+
+def _enable_compile_cache():
+    """Point JAX's persistent compilation cache at the in-repo dir.
+    Safe post-import (the axon sitecustomize pre-imports jax); must run
+    before the first backend compile."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
+
 # Derivation (BASELINE.md "Grounding the 10x denominator"): the public
 # LAMMPS benchmark suite's standard melt workloads run at ~0.4-1.0e6
 # atom-steps/s/core on 2015+-era Xeons — the in.lj melt (2.5 sigma
@@ -512,6 +534,7 @@ def _finalize(result, errors):
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--phase":
         # child mode: run exactly one phase, emit one JSON line
+        _enable_compile_cache()
         print(json.dumps(_PHASE_FNS[sys.argv[2]]()))
         return
     deadline = time.time() + TOTAL_BUDGET_S
