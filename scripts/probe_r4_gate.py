@@ -27,7 +27,21 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _enable_compile_cache():
+    """Share bench.py's persistent compile cache: a ladder rung whose
+    Mosaic compile ran 3-15 min cold comes back in seconds on re-runs."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+_enable_compile_cache()
 
 
 def throughput(tag, n_jobs=8, n_steps=100, **kw):
