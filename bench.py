@@ -136,7 +136,6 @@ def _bench_throughput(spec, n_jobs, n_steps, dt=2.0, T=300.0,
     import numpy as np
     from scema_tpu.md import material as M
     from scema_tpu.md import engine as E
-    from scema_tpu.md.homogenization import MDParams
 
     sys_, st0 = M.build_system(spec, dtype=jnp.float32)
     # ONE jitted vmapped run function serves thermalization AND the
@@ -483,7 +482,9 @@ def _probe_backend(budget_s):
 
 def _run_phase_subprocess(name, budget_s, env=None):
     """Run one phase as `bench.py --phase NAME` under a watchdog.
-    Returns (dict_or_None, error_or_None)."""
+    Returns (dict_or_None, error_or_None); the error is a structured
+    ``(kind, msg)`` pair so callers branch on the kind ("timeout" /
+    "crash" / "noresult"), never on substrings of the message."""
     t0 = time.perf_counter()
     try:
         r = subprocess.run([sys.executable, __file__, "--phase", name],
@@ -493,13 +494,13 @@ def _run_phase_subprocess(name, budget_s, env=None):
         if e.stderr:
             sys.stderr.write(e.stderr if isinstance(e.stderr, str)
                              else e.stderr.decode(errors="replace"))
-        return None, f"timeout after {budget_s:.0f}s"
+        return None, ("timeout", f"timeout after {budget_s:.0f}s")
     sys.stderr.write(r.stderr or "")
     took = time.perf_counter() - t0
     if r.returncode != 0:
         tail = (r.stderr or "").strip().splitlines()
         detail = tail[-1][:300] if tail else ""
-        return None, f"rc={r.returncode} after {took:.0f}s ({detail})"
+        return None, ("crash", f"rc={r.returncode} after {took:.0f}s ({detail})")
     for line in reversed((r.stdout or "").strip().splitlines()):
         try:
             d = json.loads(line)
@@ -510,7 +511,8 @@ def _run_phase_subprocess(name, budget_s, env=None):
         # kill the whole driver and every collected metric)
         if isinstance(d, dict):
             return d, None
-    return None, f"no JSON dict line in phase output after {took:.0f}s"
+    return None, ("noresult",
+                  f"no JSON dict line in phase output after {took:.0f}s")
 
 
 def _finalize(result, errors):
@@ -558,7 +560,7 @@ def main():
         if cpu:
             result.update(cpu)
         elif err:
-            errors["hmm_hooke_cpu"] = err
+            errors["hmm_hooke_cpu"] = err[1]
         _finalize(result, errors)
         return
     print(f"[bench] backend probe ok: {detail}", file=sys.stderr)
@@ -571,7 +573,7 @@ def main():
             continue
         phase_budget = min(budget, remaining)
         d, err = _run_phase_subprocess(name, phase_budget)
-        if d is None and name in FUSED_PHASES and "timeout" not in str(err):
+        if d is None and name in FUSED_PHASES and err[0] != "timeout":
             # the triangle-packed plane layout is new this round; before
             # giving the phase up, retry once on the round-3 hardware-
             # proven dense layout (material.py SCEMA_DENSE_PLANES hatch).
@@ -581,7 +583,7 @@ def main():
             # this way and starved four later phases).
             remaining = deadline - time.time()
             if remaining >= 60.0:
-                print(f"[bench] {name}: retrying on dense planes ({err})",
+                print(f"[bench] {name}: retrying on dense planes ({err[1]})",
                       file=sys.stderr)
                 d, err2 = _run_phase_subprocess(
                     name, min(budget, remaining),
@@ -589,12 +591,12 @@ def main():
                 if d is not None:
                     d = dict(d, **{name + "_dense_planes_fallback": 1})
                 else:
-                    err = f"{err}; dense-plane retry: {err2}"
+                    err = (err[0], f"{err[1]}; dense-plane retry: {err2[1]}")
         if d:
             result.update(d)
         else:
-            errors[name] = err
-            print(f"[bench] {name} failed: {err}", file=sys.stderr)
+            errors[name] = err[1]
+            print(f"[bench] {name} failed: {err[1]}", file=sys.stderr)
     _finalize(result, errors)
 
 

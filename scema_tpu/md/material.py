@@ -434,8 +434,20 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
         nt_pad = -(-nt_gate // 8) * 8  # Mosaic sublane padding
         ch_bytes = n_ch * kspec.k * nt_pad * MFU.LANE * 4
         if kc == 0 and ch_bytes > 48 * 1024 * 1024:
-            kc = 128
+            # Size the streamed double buffers from a VMEM budget, not a
+            # fixed chunk: the scratch is n_ch x 2 slots x kc x NT_pad x
+            # LANE x 4 B, so a constant kc=128 re-approaches the 116 MB
+            # kernel ceiling as NT grows (~0.92 MB per NT tile at
+            # n_ch=7).  32 MB leaves the state window + pair scratch
+            # their hardware-measured share at every gate size.
+            budget = 32 * 1024 * 1024
+            per_slot = n_ch * 2 * nt_pad * MFU.LANE * 4
+            kc = min(128, max(8, (budget // per_slot) // 8 * 8))
         if kc:
+            assert n_ch * 2 * kc * nt_pad * MFU.LANE * 4 <= 64 * 1024 * 1024, (
+                f"streamed neighbor-channel scratch ({n_ch}ch x 2 x {kc} x "
+                f"{nt_pad} x {MFU.LANE} x 4B) exceeds its VMEM share — "
+                f"lower force_k_chunk")
             k_pad = -(-kspec.k // kc) * kc  # dead slots carry w4e = 0
             kspec = MFU.FusedSpec(**{**kspec.__dict__, "k": k_pad,
                                      "k_chunk": kc})
