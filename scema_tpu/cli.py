@@ -244,6 +244,22 @@ def cmd_run(args) -> int:
         print(f"Profiler trace written to {args.profile}")
     import numpy as np
 
+    if args.dump_similarity:
+        # final-state similarity network for clustering.render_network —
+        # the rebuild's analog of the reference's __results/ID_* edge
+        # shards (strain2spline.h write_similar_histories)
+        from .clustering.similarity import pairwise_l2
+        from .clustering.spline import splinify_histories
+
+        fe = fe_of(state)
+        splines = splinify_histories(
+            fe.hist.buffer, fe.hist.count, cfg.precision.spline_points)
+        np.savez(args.dump_similarity,
+                 dist=np.asarray(pairwise_l2(splines)),
+                 threshold=np.float64(
+                     cfg.precision.clustering_diff_threshold))
+        print(f"Similarity network written to {args.dump_similarity}")
+
     u = np.asarray(fe_of(state).u).reshape(-1, 3)
     print(f"Max displacement: {np.abs(u).max():.6g} m")
     print(f"Total wall time: {time.perf_counter() - t_total:.2f}s for {n_steps} steps")
@@ -465,6 +481,10 @@ def main(argv=None) -> int:
     pr.add_argument("--max-retries", type=int, default=3,
                     help="transient-fault retries (rollback to the last "
                          "good step)")
+    pr.add_argument("--dump-similarity", default="",
+                    help="write the final strain-history L2 distance matrix "
+                         "as an npz (dist, threshold) for "
+                         "clustering.render_network")
     pr.add_argument("--quick-prep", action="store_true",
                     help="short fixed-box material prep instead of the "
                          "staged heatup/cooldown NPT cycle")
