@@ -184,15 +184,21 @@ class MDBackend:
             if self.device_mesh is not None:
                 # the reference's P3 task parallelism (MD batches round-
                 # robined over communicators, stmd_sync.h:189-278, 583)
-                # becomes a shard_map of the job axis over ICI
+                # becomes a shard_map of the job axis over ICI.  The job
+                # axis spans ALL mesh axes: on a multi-slice mesh
+                # ("dcn", "md") the outer axis buckets jobs across slices
+                # (the reference's P8 multi-allocation PJM dispatch,
+                # stmd_sync.h:728-855) and the inner shards within a
+                # slice over ICI — same program, two collective tiers.
                 from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
+                axes = tuple(self.device_mesh.axis_names)
                 run = shard_map(
                     run,
                     mesh=self.device_mesh,
-                    in_specs=(P("md"),) * 6,
-                    out_specs=(P("md"),) * 5,
+                    in_specs=(P(axes),) * 6,
+                    out_specs=(P(axes),) * 5,
                     check_vma=False,
                 )
 
@@ -202,7 +208,7 @@ class MDBackend:
             ch = min(self.job_chunk, K)
             n_dev = 1
             if self.device_mesh is not None:
-                n_dev = self.device_mesh.shape["md"]
+                n_dev = self.device_mesh.size
                 ch = max(ch, n_dev)
             # largest divisor of K not exceeding job_chunk that is ALSO a
             # multiple of the device count (the shard_map over P("md")
@@ -439,7 +445,7 @@ def build_md_hmm(
     max_jobs = min(cfg.resources.max_md_jobs or geom.n_qp_total,
                    geom.n_qp_total)
     if device_mesh is not None:
-        n_dev = device_mesh.shape["md"]
+        n_dev = device_mesh.size  # job axis spans every mesh axis
         max_jobs = ((max_jobs + n_dev - 1) // n_dev) * n_dev
 
     # per-replica nanostructure metadata: orientation (normal_vector ->

@@ -1676,7 +1676,7 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
             + [pltpu.VMEM((2, KC, NT, LANE), dtype)] * (n_stream - 1)
             + [pltpu.SemaphoreType.DMA((2, n_stream))]
         )
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         # wide-K channel sets (OPLS ~232 slots) exceed Mosaic's default
         # 16M scoped-vmem budget; v5e has 128 MiB physical VMEM.  116 MB
@@ -1706,7 +1706,18 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
             pl.BlockSpec((J, _SACC), lambda: (0, 0), memory_space=pltpu.SMEM),
         ),
         interpret=spec.interpret,
-    )(
+    )
+    if spec.k_chunk and not spec.sw:
+        # HBM-streamed channels are memory_space=ANY operands: Pallas's
+        # vmap batching rule blocks every operand over a new grid axis,
+        # which ANY-space operands reject (round-5 hardware ladder:
+        # c1792L/c2240L/c4480S all failed at trace time under the 8-job
+        # vmap while the unbatched sparity rung passed).  Lower vmap to
+        # lax.map instead — semantically identical, and on v5e (one
+        # TensorCore per chip) grid programs over jobs serialize anyway,
+        # so sequential jobs cost only the per-call dispatch.
+        call = jax.custom_batching.sequential_vmap(call)
+    out = call(
         iscal, fscal, state[None],
         *operands,
         qq, topo, pat, shk, fxt,

@@ -32,6 +32,32 @@ def make_mesh(n_devices: int | None = None, axis: str = "md") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_multislice_mesh(n_slices: int, per_slice: int,
+                         axes: tuple[str, str] = ("dcn", "md")) -> Mesh:
+    """Two-tier mesh for the reference's P8 elastic multi-allocation path
+    (PJM/QCG dispatching MD job groups to separate SLURM allocations,
+    stmd_sync.h:728-855 + optimization_pjm/optimization_hmm.py).
+
+    TPU-native equivalent: the outer ``"dcn"`` axis enumerates slices
+    (pods connected over datacenter network), the inner ``"md"`` axis the
+    chips within a slice (ICI).  The MD job batch is sharded over BOTH
+    axes — coarse job buckets per slice, fine within — and the only
+    cross-slice traffic is the per-macro-step all_gather of averaged
+    stresses ((n_qp, 6) — a few KB, so DCN latency is amortized over the
+    full MD phase exactly as the reference amortizes PJM job-submission
+    latency).  On single-slice hardware the same program runs with
+    n_slices=1; the CPU-mesh dryrun (__graft_entry__.dryrun_multichip)
+    validates the two-axis program shape without multi-slice hardware.
+    """
+    import numpy as np
+
+    devs = jax.devices()[: n_slices * per_slice]
+    if len(devs) < n_slices * per_slice:
+        raise ValueError(
+            f"need {n_slices * per_slice} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs).reshape(n_slices, per_slice), axes)
+
+
 def pad_to_multiple(x: jax.Array, m: int, axis: int = 0, fill=0):
     n = x.shape[axis]
     rem = (-n) % m
@@ -72,7 +98,7 @@ def shard_pairwise_l2(mesh: Mesh, axis: str = "md"):
     return wrapped
 
 
-def shard_md_update(md_update_fn, mesh: Mesh, axis: str = "md"):
+def shard_md_update(md_update_fn, mesh: Mesh, axis=None):
     """Wrap a dense per-qp md_update_fn so it runs sharded over the mesh.
 
     Each device computes the update for its contiguous block of quadrature
@@ -80,8 +106,13 @@ def shard_md_update(md_update_fn, mesh: Mesh, axis: str = "md"):
     stmd_sync.h:583, becomes a block distribution).  The result is
     all-gathered because the downstream dedup gather
     (``update_stress_cg[id_to_get]``) may cross blocks.
+
+    The qp axis spans ALL mesh axes by default: on a multi-slice
+    ("dcn", "md") mesh the gather's outer tier is the one cross-slice
+    collective per macro-step (P8, make_multislice_mesh).
     """
-    n_dev = mesh.shape[axis]
+    axis = tuple(mesh.axis_names) if axis is None else axis
+    n_dev = mesh.size
 
     @partial(
         shard_map,

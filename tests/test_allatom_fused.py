@@ -304,3 +304,26 @@ def test_allatom_streamed_list_kernel_matches_resident():
     scale = np.abs(np.asarray(sig_r)).max()
     assert np.allclose(np.asarray(sig_s), np.asarray(sig_r),
                        atol=scale * 1e-4 + 1e3)
+
+
+def test_streamed_list_kernel_vmaps_over_jobs():
+    """vmap over a job batch must reach the streamed kernel: its ANY-
+    memory-space channel operands reject Pallas's blocked batching rule,
+    so fused_chunk lowers vmap to lax.map (sequential_vmap).  The round-5
+    hardware ladder caught this — every batched streamed rung failed at
+    trace time while the unbatched parity rung passed.  Batched must
+    equal single-job bit-exactly (same kernel, same order)."""
+    c = dict(COMMON, use_ewald=True)
+    sys_s, st = M.build_system(M.MaterialSpec(**c, use_fused=True,
+                                              force_list_kernel=True,
+                                              force_k_chunk=8))
+    assert sys_s.fused.spec.k_chunk == 8
+    st = E.minimize_fire(sys_s, st, n_steps=20, dt0=0.25)
+    eps = jnp.zeros((2, 6), jnp.float32).at[:, 2].set(
+        jnp.asarray([1e-4, 3e-4]))
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape), st)
+    run1 = lambda s, e: E.run_strain(sys_s, s, e, jnp.asarray(8), 50.0, 0.5)
+    out_b = jax.jit(jax.vmap(run1))(batch, eps)
+    out_1 = jax.jit(run1)(st, eps[1])
+    assert np.array_equal(np.asarray(out_b.pos[1]), np.asarray(out_1.pos))
