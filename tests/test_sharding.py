@@ -107,3 +107,72 @@ def test_sharded_md_coupled_step_matches_single_device():
     assert n1 == n8 > 0
     scale = np.abs(sig1).max()
     assert np.abs(sig8 - sig1).max() / scale < 1e-10
+
+
+def test_multislice_mesh_hooke_step_matches_single_device():
+    """P8 multi-slice prototype: the coupled step sharded over a
+    two-axis ("dcn", "md") mesh — job buckets across slices, ICI shards
+    within — equals the unsharded step.  TPU-native stand-in for the
+    reference's PJM multi-allocation dispatch (stmd_sync.h:728-855,
+    optimization_pjm/optimization_hmm.py)."""
+    from scema_tpu.parallel.mesh_utils import make_multislice_mesh
+
+    cfg = HMMConfig()
+    cfg = cfg.replace(
+        mesh=cfg.mesh.__class__(x_cells=2, y_cells=2, z_cells=3),
+        bridging=cfg.bridging.__class__(stress_method=0,
+                                        approx_md_with_hookes_law=True),
+        time=cfg.time.__class__(timestep_length=5.0e-7, start_timestep=1,
+                                end_timestep=10),
+    )
+    mesh2 = make_multislice_mesh(2, 4)
+    assert mesh2.axis_names == ("dcn", "md") and mesh2.size == 8
+    hmm_sliced = build_hooke_hmm(cfg, device_mesh=mesh2)
+    hmm_single = build_hooke_hmm(cfg)
+    s0, s1 = hmm_sliced.init_state(), hmm_single.init_state()
+    step0, step1 = jax.jit(hmm_sliced.step), jax.jit(hmm_single.step)
+    for _ in range(3):
+        s0, o0 = step0(s0)
+        s1, o1 = step1(s1)
+    sig0, sig1 = np.asarray(s0.qp.new_stress), np.asarray(s1.qp.new_stress)
+    assert np.allclose(sig0, sig1, atol=1e-9 * max(np.abs(sig1).max(), 1.0))
+    assert int(o0.n_jobs) == int(o1.n_jobs)
+
+
+def test_multislice_mesh_md_coupled_step():
+    """The real-MD coupled step also shards over the two-axis mesh (the
+    job chunk divides by mesh.size, collectives tier over dcn x md)."""
+    from scema_tpu.hmm.md_coupling import build_md_hmm
+    from scema_tpu.md.material import MaterialSpec
+    from scema_tpu.parallel.mesh_utils import make_multislice_mesh
+
+    cfg = HMMConfig()
+    cfg = cfg.replace(
+        mesh=cfg.mesh.__class__(x_cells=1, y_cells=1, z_cells=2),
+        time=cfg.time.__class__(timestep_length=5.0e-7, start_timestep=1,
+                                end_timestep=2),
+        bridging=cfg.bridging.__class__(stress_method=0,
+                                        approx_md_with_hookes_law=False),
+        material=cfg.material.__class__(number_of_replicas=1,
+                                        materials=("sic",),
+                                        proportions=(1.0,)),
+        md=cfg.md.__class__(temperature=0.01, timestep_length=0.05,
+                            strain_rate=1.0e-2, nsteps_sample=10,
+                            force_field="sw"),
+        dtype="float64",
+        md_dtype="float64",
+    )
+    spec = MaterialSpec(name="sic", force_field="sw", n_cells=2)
+
+    def run(mesh):
+        hmm = build_md_hmm(cfg, spec=spec, equil_steps=0, minimize_steps=10,
+                           device_mesh=mesh)
+        carry = hmm.init_state()
+        carry, out = jax.jit(hmm.step)(carry)
+        return np.asarray(carry[0].qp.new_stress), int(out.n_jobs)
+
+    sig1, n1 = run(None)
+    sig2, n2 = run(make_multislice_mesh(2, 4))
+    assert n1 == n2 > 0
+    scale = np.abs(sig1).max()
+    assert np.abs(sig2 - sig1).max() / scale < 1e-10
