@@ -565,16 +565,20 @@ def build_md_hmm(
         # at 576x512): the slim-probe +16% came from sharing full-width
         # row ops and one NHC chain across jobs, which the honest
         # per-job-scalars version cannot share.  Default off.
-        # reax job programs are far heavier per job than lj/opls/sw (the
-        # dense bond-order field materializes (N,N) and (N,K,K,K) grad
-        # residuals every step); wide vmaps fault the axon device — a
-        # 64-job x 176-atom batch crashed the worker where 16 jobs ran
-        # fine.  Keep TOTAL jobs x atoms per device program bounded:
-        # the update fn vmaps (chunk, n_repl), so replicas multiply in.
+        # reax job programs are heavier per job than lj/opls/sw; the
+        # round-3/4 DENSE field forced chunk = 4096 // (atoms x replicas)
+        # because (N, N) + (N, K, K, K) grad residuals faulted the axon
+        # device on wide vmaps.  The list field's per-job residuals are
+        # O(N K_nb) + O(N K_b^3), so the bound is now a slot budget:
+        # jobs x atoms x slots x replicas per device program <= ~2M
+        # (f32 slot arrays ~30 channels x 3 autodiff copies ~ 0.7 GB HBM
+        # peak — comfortably inside v5e's 16 GB with the job batch).
         chunk = 64
         if mspec.force_field == "reax":
+            slots = sys.nspec.k_max
             chunk = max(1, min(
-                64, 4096 // max(sys.n_atoms * max(n_repl, 1), 1)))
+                64,
+                2_000_000 // max(sys.n_atoms * slots * max(n_repl, 1), 1)))
         backends.append(MDBackend(
             sys=sys, params=params, ensemble=ens, n_repl=n_repl,
             max_jobs=max_jobs, initial_md_state=st0, device_mesh=device_mesh,

@@ -307,17 +307,23 @@ def run_npt(
     p_target: float = 1.0,
     pdamp: float = 1000.0,
     compressibility: float = 4.5e-5,
+    barostat: str = "mtk",
 ) -> MDState:
-    """NPT with a temperature ramp: NVT-NHC + isotropic Berendsen barostat.
+    """NPT with a temperature ramp — the reference's material-prep stages
+    (``fix npt temp T1 T2 100.0 iso 1.0 1.0 1000``, in.init.lammps;
+    driven from init_material_problem.h:114-303).
 
-    The on-device analog of the reference material-prep stages
-    (``fix npt temp T1 T2 100.0 iso 1.0 1.0 1000``, in.init.lammps): the
-    thermostat ramps linearly from T_start to T_end; each step the box is
-    scaled by mu = (1 - dt/pdamp * kappa * (p0 - p))^(1/3) using the
-    instantaneous virial pressure (p in the unit system's pressure unit;
-    kappa in 1/pressure-unit).  Berendsen rather than MTK: material prep
-    only needs relaxation to the target state, not NPT-ensemble statistics.
+    ``barostat="mtk"`` (production default) is the Martyna-Tobias-Klein
+    isotropic barostat that ``fix npt`` itself integrates — a barostat
+    momentum with its own Nose-Hoover chain and the MTK velocity/box
+    coupling terms, so box volume SAMPLES the NPT ensemble.
+    ``barostat="berendsen"`` keeps the round-2 weak-coupling relaxer
+    (monotone approach, no volume fluctuations) as a fallback;
+    ``compressibility`` only applies to it.
     """
+    if barostat == "mtk":
+        return _run_npt_mtk(sys, state, n_steps, T_start, T_end, dt,
+                            p_target, pdamp)
     n_chunks = max(1, n_steps // sys.rebuild_every)
     total = n_chunks * sys.rebuild_every
 
@@ -349,6 +355,144 @@ def run_npt(
         return st
 
     return jax.lax.fori_loop(0, n_chunks, chunk, state)
+
+
+def _baro_nhc_half(vxi_b, omega_dot, W_b, kt, pdamp, dt, dtype):
+    """Half-step Nose-Hoover chain on the barostat momentum (LAMMPS
+    fix_nh::nhc_press_integrate): one translational dof (the isotropic
+    epsilon), chain masses Q = kT pdamp^2."""
+    q = jnp.full((NHC_LEN,), kt * pdamp * pdamp, dtype=dtype)
+    dt2, dt4, dt8 = dt / 2.0, dt / 4.0, dt / 8.0
+    ke2 = W_b * omega_dot * omega_dot
+
+    def g(k, ke2_, vref):
+        return jnp.where(
+            k == 0,
+            (ke2_ - kt) / q[0],
+            (q[k - 1] * vref[k - 1] ** 2 - kt) / q[k],
+        )
+
+    for k in range(NHC_LEN - 1, -1, -1):
+        if k == NHC_LEN - 1:
+            vxi_b = vxi_b.at[k].add(dt4 * g(k, ke2, vxi_b))
+        else:
+            s = jnp.exp(-dt8 * vxi_b[k + 1])
+            vxi_b = vxi_b.at[k].set(s * (s * vxi_b[k] + dt4 * g(k, ke2, vxi_b)))
+    scale = jnp.exp(-dt2 * vxi_b[0])
+    omega_dot = omega_dot * scale
+    ke2 = ke2 * scale * scale
+    for k in range(NHC_LEN):
+        if k == NHC_LEN - 1:
+            vxi_b = vxi_b.at[k].add(dt4 * g(k, ke2, vxi_b))
+        else:
+            s = jnp.exp(-dt8 * vxi_b[k + 1])
+            vxi_b = vxi_b.at[k].set(s * (s * vxi_b[k] + dt4 * g(k, ke2, vxi_b)))
+    return vxi_b, omega_dot
+
+
+def _run_npt_mtk(sys, state, n_steps, T_start, T_end, dt, p_target, pdamp):
+    """Isotropic MTK NPT (LAMMPS fix_nh's integration order, iso case).
+
+    Per step, with the barostat strain rate ``omega_dot`` (epsilon-dot)
+    and its chain ``vxi_b`` carried alongside the particle state:
+
+      chains(dt/2) -> omega_dot(dt/2) -> v-MTK-scale(dt/2) -> kick(dt/2)
+      -> dilated drift (x, h x= exp(dt/2 w) around the dt v-drift)
+      -> forces -> kick(dt/2) -> v-MTK-scale(dt/2) -> omega_dot(dt/2)
+      -> chains(dt/2)
+
+    with f_omega = (3 V (P - P0)/nktv2p + 2KE/N) / W_b (the 2KE/N being
+    the MTK correction, pdim=3 folded into the single epsilon dof),
+    W_b = 3 (N + 1) kT pdamp^2 (LAMMPS omega_mass summed over the three
+    coupled directions) and the velocity scale
+    exp(-dt/2 (1 + 1/N) omega_dot) (mtk_term2).  The instantaneous
+    virial pressure comes from forces_energy_virial each half-step's
+    force evaluation (one extra h-gradient, same cost class as the
+    Berendsen path's per-step virial).
+    """
+    u = sys.units
+    dtype = state.pos.dtype
+    n_chunks = max(1, n_steps // sys.rebuild_every)
+    total = n_chunks * sys.rebuild_every
+    N = float(sys.n_atoms)
+    minv = (u.ftm2v / sys.masses)[:, None]
+    dt2 = dt / 2.0
+
+    def p_iso_of(st, W):
+        p6 = pressure_tensor(sys, st, W)
+        return (p6[0] + p6[1] + p6[2]) / 3.0
+
+    def f_omega(st, p_iso, kt_t):
+        ke2 = jnp.sum(sys.masses[:, None] * st.vel * st.vel) / u.ftm2v
+        vol = B.volume(st.h)
+        w_b = 3.0 * (N + 1.0) * kt_t * pdamp * pdamp
+        return ((p_iso - p_target) * 3.0 * vol / u.nktv2p + ke2 / N) / w_b
+
+    def chunk(c, carry):
+        st, omega_dot, vxi_b = carry
+        nbr = sys.build_neighbors(st.pos, st.h)
+        _, _, W = forces_energy_virial(sys, st.pos, st.h, nbr)
+        F = forces(sys, st.pos, st.h, nbr)
+
+        def inner(i, carry_i):
+            st, F, W, omega_dot, vxi_b = carry_i
+            gstep = c * sys.rebuild_every + i
+            frac = gstep.astype(dtype) / total
+            T = T_start + (T_end - T_start) * frac
+            kt_t = u.boltz * T
+            w_b = 3.0 * (N + 1.0) * kt_t * pdamp * pdamp
+
+            # chains + omega_dot + MTK velocity scale (first half)
+            vel, vxi = _nhc_half(sys, st.vel, st.vxi, T, dt)
+            vxi_b, omega_dot = _baro_nhc_half(
+                vxi_b, omega_dot, w_b, kt_t, pdamp, dt, dtype)
+            st_v = st._replace(vel=vel)
+            omega_dot = omega_dot + dt2 * f_omega(st_v, p_iso_of(st_v, W),
+                                                  kt_t)
+            mtk_scale = jnp.exp(-dt2 * (1.0 + 1.0 / N) * omega_dot)
+            vel = vel * mtk_scale
+
+            # kick + dilated drift
+            vel = vel + dt2 * F * minv
+            e1 = jnp.exp(dt2 * omega_dot)
+            pos = (st.pos * e1 + dt * vel) * e1
+            h_new = st.h * (e1 * e1)
+            if sys.constraints is not None:
+                from . import constraints as CN
+
+                inv_m = 1.0 / sys.masses
+                pos_c = CN.shake_positions(
+                    sys.constraints, st.pos * e1 * e1, pos, h_new, inv_m)
+                vel = vel + (pos_c - pos) / dt
+                pos = pos_c
+            st = st._replace(pos=pos, h=h_new)
+
+            F_new, _, W_new = forces_energy_virial(sys, pos, h_new, nbr)
+            vel = vel + dt2 * F_new * minv
+            if sys.constraints is not None:
+                vel = CN.rattle_velocities(
+                    sys.constraints, pos, vel, h_new, 1.0 / sys.masses)
+
+            # second half: MTK scale + omega_dot + chains
+            vel = vel * mtk_scale
+            st_v = st._replace(vel=vel)
+            omega_dot = omega_dot + dt2 * f_omega(
+                st_v, p_iso_of(st_v, W_new), kt_t)
+            vxi_b, omega_dot = _baro_nhc_half(
+                vxi_b, omega_dot, w_b, kt_t, pdamp, dt, dtype)
+            vel, vxi = _nhc_half(sys, vel, vxi, T, dt)
+            return (st._replace(vel=vel, vxi=vxi), F_new, W_new,
+                    omega_dot, vxi_b)
+
+        st, _, _, omega_dot, vxi_b = jax.lax.fori_loop(
+            0, sys.rebuild_every, inner, (st, F, W, omega_dot, vxi_b))
+        return st, omega_dot, vxi_b
+
+    zero = jnp.zeros((), dtype)
+    st, _, _ = jax.lax.fori_loop(
+        0, n_chunks, chunk,
+        (state, zero, jnp.zeros((NHC_LEN,), dtype)))
+    return st
 
 
 def sample_stress(

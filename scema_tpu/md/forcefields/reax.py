@@ -42,7 +42,7 @@ import numpy as np
 
 from .reax_ffield import ReaxParams, parse_ffield
 
-__all__ = ["ReaxFFDense", "build_reax", "parse_ffield"]
+__all__ = ["ReaxFFDense", "ReaxFFList", "build_reax", "parse_ffield"]
 
 C_ELE = 332.06371  # Coulomb constant, kcal/mol * A / e^2 (reax/c value)
 EV2KCAL = 23.02  # eV -> kcal/mol (reax/c's KCALpMOL_to_EV inverse)
@@ -436,7 +436,9 @@ class ReaxFFDense:
             tz = t[None, None, :]
             hb_par = (T["hb_mask"][tk[:, :, None], tj3, tz]
                       & don_ok[:, :, None]
-                      & is_acc[t][None, None, :] & hb_geo
+                      # per-ATOM acceptor flag over the dense z axis
+                      # (is_acc is already indexed by type via t)
+                      & is_acc[None, None, :] & hb_geo
                       & (jnp.arange(n)[None, None, :] != idx[:, :, None]))
             # angle i-j-z at the hydrogen
             ez = G[:, None, :, :]  # r_z - r_j
@@ -514,14 +516,461 @@ class ReaxFFDense:
         return jax.lax.stop_gradient(q)
 
 
+@dataclasses.dataclass(frozen=True)
+class ReaxFFList:
+    """Neighbor-list ReaxFF: the production-scale variant of
+    :class:`ReaxFFDense`.
+
+    Same functional forms and parameter tables, but every pair quantity
+    lives on the engine's fixed-width neighbor list (``(N, K)`` idx +
+    mask, neighbor.py) instead of dense ``(N, N)`` matrices, and QEq is
+    a Jacobi-preconditioned CG with a list matvec instead of a dense
+    Cholesky — O(N K) work and memory throughout, so box size and job
+    width stop being capped by the dense field (the round-4 coupling
+    clamped job_chunk to 4096 // atoms because of the (N, N) +
+    (N, K, K, K) autodiff residuals).  Valence/torsion/hbond enumerate
+    a top-``k_bond`` bonded sub-list gathered from the slot field — the
+    same static-K reactivity model as the dense class (reactivity = the
+    gather changes).  Forces remain exact autodiff of the energy;
+    charges are stop_gradient-ed stationary points (Hellmann-Feynman),
+    matching ``fix qeq/reax``'s CG-with-tolerance semantics
+    (in.set.lammps:15: ``fix qeq/reax 1 0.0 10.0 1e-6``).
+    """
+
+    tables: dict
+    types: jax.Array  # (N,) int32
+    cutoff: float  # nonbonded taper radius (swb)
+    qeq: bool = True
+    with_hbond: bool = False
+    qeq_iters: int = 48  # static CG trip count (f32 floors ~1e-6 rel)
+
+    fire_dt0 = 0.05  # see ReaxFFDense.fire_dt0
+
+    # -- list geometry ---------------------------------------------------
+    def _pair_geometry(self, pos, h, nbr):
+        """Per-slot min-image displacement G[i, k] = r_idx[i,k] - r_i."""
+        idx, mask = nbr.idx, nbr.mask
+        hinv = jnp.linalg.inv(h)
+        s = pos @ hinv
+        ds = s[idx] - s[:, None, :]
+        ds = ds - jnp.round(ds)
+        G = ds @ h
+        r2 = jnp.sum(G * G, axis=-1)
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        return G, jnp.where(mask, r, 0.0), mask
+
+    def _bond_orders(self, r, idx, mask):
+        """Corrected bond orders on the slot field (ReaxFFDense
+        semantics, axis-1 sums unchanged — each pair appears in both
+        rows, so row sums ARE the per-atom totals)."""
+        T = self.tables
+        t = self.types
+        bo_cut = T["bo_cut"]
+        tl = (t[:, None], t[idx])
+        r_safe = jnp.where(mask, r, 1.0)
+
+        def bo_prime(r0_tab, pbo_a, pbo_b):
+            r0 = r0_tab[tl]
+            ok = mask & (r0 > 0)
+            ratio = r_safe / jnp.where(r0 > 0, r0, 1.0)
+            return jnp.where(
+                ok, jnp.exp(pbo_a[tl] * _spow(ratio, pbo_b[tl])), 0.0)
+
+        bos_p = (1.0 + bo_cut) * bo_prime(T["r_s_ij"], T["p_bo1"], T["p_bo2"])
+        bopi_p = bo_prime(T["r_pi_ij"], T["p_bo3"], T["p_bo4"])
+        bopp_p = bo_prime(T["r_pipi_ij"], T["p_bo5"], T["p_bo6"])
+        bo_p = bos_p + bopi_p + bopp_p
+        listed = mask & (bo_p >= bo_cut)
+        bo_p = jnp.where(listed, bo_p, 0.0)
+        bopi_p = jnp.where(listed, bopi_p, 0.0)
+        bopp_p = jnp.where(listed, bopp_p, 0.0)
+
+        val = T["valency"][t]
+        deltap = jnp.sum(bo_p, axis=1) - val
+        deltap_boc = jnp.sum(bo_p, axis=1) - T["valency_boc"][t]
+
+        p1, p2 = T["p_boc1"], T["p_boc2"]
+        e1 = jnp.exp(-p1 * deltap)
+        e2 = jnp.exp(-p2 * deltap)
+        f2 = e1[:, None] + e1[idx]
+        f3 = -jnp.log(0.5 * (e2[:, None] + e2[idx])) / p2
+        vi, vj = val[:, None], val[idx]
+        f1 = 0.5 * ((vi + f2) / (vi + f2 + f3) + (vj + f2) / (vj + f2 + f3))
+        f1 = jnp.where(T["ovc"][tl] >= 0.001, f1, 1.0)
+
+        boc3 = jnp.sqrt(T["p_boc3"][t][:, None] * T["p_boc3"][t][idx])
+        boc4 = jnp.sqrt(T["p_boc4"][t][:, None] * T["p_boc4"][t][idx])
+        boc5 = jnp.sqrt(T["p_boc5"][t][:, None] * T["p_boc5"][t][idx])
+        bo_p2 = bo_p * bo_p
+
+        def f45(dpb):
+            return 1.0 / (1.0 + jnp.exp(-boc3 * (boc4 * bo_p2 - dpb) + boc5))
+
+        f45v = jnp.where(
+            T["v13cor"][tl] >= 0.001,
+            f45(deltap_boc[:, None]) * f45(deltap_boc[idx]), 1.0)
+
+        A0 = f1 * f45v
+        bo = jnp.maximum(bo_p * A0 - bo_cut, 0.0)
+        bo = jnp.where(listed, bo, 0.0)
+        bopi = bopi_p * f1 * A0
+        bopp = bopp_p * f1 * A0
+        bos = jnp.maximum(bo - bopi - bopp, 0.0)
+
+        total = jnp.sum(bo, axis=1)
+        return dict(
+            bo=bo, bos=bos, bopi=bopi, bopp=bopp, listed=listed,
+            total=total,
+            delta=total - val,
+            delta_e=total - T["valency_e"][t],
+            delta_val=total - T["valency_val"][t],
+            delta_boc=total - T["valency_boc"][t],
+        )
+
+    _lone_pair = ReaxFFDense._lone_pair
+
+    def _default_nbr(self, n):
+        """All-pairs (N, N-1) list for direct calls without an engine
+        list (molecule anchors, finite-difference tests): every j != i,
+        all slots valid — the slot field then covers exactly the dense
+        twin's pair set."""
+        from .. import neighbor as NB
+
+        ids = jnp.arange(n, dtype=jnp.int32)
+        idx = (ids[:, None] + 1
+               + jnp.arange(n - 1, dtype=jnp.int32)[None, :]) % n
+        return NB.NeighborList(idx=idx, mask=jnp.ones_like(idx, bool))
+
+    def bond_orders(self, pos, h, nbr=None):
+        """Diagnostic twin of ReaxFFDense.bond_orders on the slot field."""
+        if nbr is None:
+            nbr = self._default_nbr(pos.shape[0])
+        G, r, mask = self._pair_geometry(pos, h, nbr)
+        B = self._bond_orders(r, nbr.idx, mask)
+        return {"bo": B["bo"], "sigma": B["bos"], "pi": B["bopi"],
+                "pipi": B["bopp"], "total": B["total"], "idx": nbr.idx}
+
+    # -- energy ----------------------------------------------------------
+    def energy(self, pos, h, nbr=None):
+        return self.energy_terms(pos, h, nbr)["total"]
+
+    def energy_terms(self, pos, h, nbr=None):
+        if nbr is None or (hasattr(nbr, "ndim") and nbr.ndim == 0):
+            # direct call (tests/anchors) or the engine's scalar
+            # placeholder: fall back to the all-pairs slot field
+            nbr = self._default_nbr(pos.shape[0])
+        T = self.tables
+        t = self.types
+        dtype = pos.dtype
+        n = pos.shape[0]
+        idx = nbr.idx
+        G, r, mask = self._pair_geometry(pos, h, nbr)
+        B = self._bond_orders(r, idx, mask)
+        tl = (t[:, None], t[idx])
+
+        # --- bonds ---
+        ebond_ij = (
+            -T["De_s"][tl] * B["bos"]
+            * jnp.exp(T["p_be1"][tl] * (1.0 - _spow(B["bos"], T["p_be2"][tl])))
+            - T["De_pi"][tl] * B["bopi"]
+            - T["De_pipi"][tl] * B["bopp"]
+        )
+        e_bond = 0.5 * jnp.sum(jnp.where(B["listed"], ebond_ij, 0.0))
+
+        # --- lone pair + over/under-coordination ---
+        nlp, delta_lp, delta_lp_temp, vlpex, e_lp = self._lone_pair(B)
+        sum_ovun1 = jnp.sum(
+            T["p_ovun1"][tl] * T["De_s"][tl] * B["bo"], axis=1)
+        sum_ovun2 = jnp.sum(
+            (B["delta"] - delta_lp_temp)[idx] * (B["bopi"] + B["bopp"]),
+            axis=1)
+        exp_ov1 = T["p_ovun3"] * jnp.exp(T["p_ovun4"] * sum_ovun2)
+        delta_lpcorr = B["delta"] - delta_lp_temp / (1.0 + exp_ov1)
+        p_ovun2 = T["p_ovun2"][t]
+        e_ov = jnp.sum(
+            sum_ovun1 * delta_lpcorr
+            / (delta_lpcorr + T["valency"][t] + 1e-8)
+            / (1.0 + jnp.exp(p_ovun2 * delta_lpcorr)))
+        e_un = jnp.sum(
+            -T["p_ovun5"][t]
+            * (1.0 - jnp.exp(T["p_ovun6"] * delta_lpcorr))
+            / (1.0 + jnp.exp(-p_ovun2 * delta_lpcorr))
+            / (1.0 + T["p_ovun7"] * jnp.exp(T["p_ovun8"] * sum_ovun2)))
+
+        # --- bonded sub-list: top-K_b slots by corrected BO ---
+        K = min(int(T["top_k"]), idx.shape[1])
+        bo_neg = jnp.where(B["listed"], B["bo"], -1.0)
+        bo_k, sel = jax.lax.top_k(bo_neg, K)  # (N, K) slot positions
+        nb_mask = bo_k > THB_CUT
+        idx_b = jnp.take_along_axis(idx, sel, axis=1)  # global neighbor ids
+        tk = t[idx_b]
+        Gk = jnp.take_along_axis(G, sel[:, :, None], axis=1)
+        rk = jnp.take_along_axis(r, sel, axis=1)
+        totk = B["total"][idx_b]
+
+        # --- valence angles (ReaxFFDense block with idx -> idx_b) ---
+        bo_m = jnp.where(B["listed"], B["bo"], 0.0)
+        sbo_p = jnp.sum(B["bopi"] + B["bopp"], axis=1)
+        prod_sbo = jnp.exp(-jnp.sum(_spow(bo_m, 8.0), axis=1))
+        vlpadj = jnp.where(vlpex >= 0.0, 0.0, nlp)
+        sbo = sbo_p + (1.0 - prod_sbo) * (
+            -B["delta_val"] - T["p_val8"] * vlpadj)
+        pv9 = T["p_val9"]
+        sbo2 = jnp.where(
+            sbo <= 0.0, 0.0,
+            jnp.where(sbo <= 1.0, _spow(sbo, pv9),
+                      jnp.where(sbo < 2.0,
+                                2.0 - _spow(jnp.maximum(2.0 - sbo, 0.0), pv9),
+                                2.0)))
+
+        ta = tk[:, :, None]
+        tb = tk[:, None, :]
+        tj3 = t[:, None, None]
+        ang_ok = (
+            T["ang_mask"][ta, tj3, tb]
+            & nb_mask[:, :, None] & nb_mask[:, None, :]
+            & (idx_b[:, :, None] != idx_b[:, None, :])
+        )
+        e1a = Gk[:, :, None, :]
+        e2a = Gk[:, None, :, :]
+        r1 = rk[:, :, None]
+        r2 = rk[:, None, :]
+        cos_t = jnp.sum(e1a * e2a, axis=-1) / jnp.maximum(r1 * r2, 1e-12)
+        cos_t = jnp.clip(cos_t, -1.0, 1.0)
+        theta = jnp.arccos(cos_t * (1.0 - 1e-7))
+        th00 = T["theta00"][ta, tj3, tb] * (jnp.pi / 180.0)
+        theta0 = jnp.pi - th00 * (
+            1.0 - jnp.exp(-T["p_val10"] * (2.0 - sbo2[:, None, None])))
+        bo_ij = bo_k[:, :, None]
+        bo_jk = bo_k[:, None, :]
+        p_val4 = T["p_val4"][ta, tj3, tb]
+        p_val3j = T["p_val3"][t][:, None, None]
+        f7_ij = 1.0 - jnp.exp(-p_val3j * _spow(bo_ij, p_val4))
+        f7_jk = 1.0 - jnp.exp(-p_val3j * _spow(bo_jk, p_val4))
+        dvj = B["delta_val"][:, None, None]
+        exp6 = jnp.exp(T["p_val6"] * dvj)
+        exp7 = jnp.exp(-T["p_val7"][ta, tj3, tb] * dvj)
+        p_val5j = T["p_val5"][t][:, None, None]
+        f8 = p_val5j - (p_val5j - 1.0) * (2.0 + exp6) / (1.0 + exp6 + exp7)
+        pv1 = T["p_val1"][ta, tj3, tb]
+        expv2 = jnp.exp(
+            -T["p_val2"][ta, tj3, tb] * jnp.square(theta0 - theta))
+        ev12 = jnp.where(pv1 >= 0.0, pv1 * (1.0 - expv2), -pv1 * expv2)
+        e_ang = 0.5 * jnp.sum(
+            jnp.where(ang_ok, f7_ij * f7_jk * f8 * ev12, 0.0))
+
+        dj = B["delta"][:, None, None]
+        f9 = ((2.0 + jnp.exp(-T["p_pen3"] * dj))
+              / (1.0 + jnp.exp(-T["p_pen3"] * dj)
+                 + jnp.exp(T["p_pen4"] * dj)))
+        e_pen_t = (T["p_pen1"][ta, tj3, tb] * f9
+                   * jnp.exp(-T["p_pen2"] * jnp.square(bo_ij - 2.0))
+                   * jnp.exp(-T["p_pen2"] * jnp.square(bo_jk - 2.0)))
+        e_pen = 0.5 * jnp.sum(jnp.where(ang_ok, e_pen_t, 0.0))
+
+        tot_i = totk[:, :, None]
+        tot_k = totk[:, None, :]
+        e_coa_t = (
+            T["p_coa1"][ta, tj3, tb]
+            / (1.0 + jnp.exp(T["p_coa2"] * dvj))
+            * jnp.exp(-T["p_coa3"] * jnp.square(tot_i - bo_ij))
+            * jnp.exp(-T["p_coa3"] * jnp.square(tot_k - bo_jk))
+            * jnp.exp(-T["p_coa4"] * jnp.square(bo_ij - 1.5))
+            * jnp.exp(-T["p_coa4"] * jnp.square(bo_jk - 1.5)))
+        e_coa = 0.5 * jnp.sum(jnp.where(ang_ok, e_coa_t, 0.0))
+
+        # --- torsions over central bonds j-k, k > j (global ids) ---
+        idx_k = idx_b[idx_b]  # (N, K, K)
+        kk = idx_b[:, :, None, None]
+        ii = idx_b[:, None, :, None]
+        ll = idx_k[:, :, None, :]
+        ti4 = t[ii]
+        tj4 = t[:, None, None, None]
+        tk4 = t[kk]
+        tl4 = t[ll]
+        central_ok = nb_mask & (idx_b > jnp.arange(n)[:, None])
+        bo_c = bo_k[:, :, None, None]
+        bo_i = bo_k[:, None, :, None]
+        bo_l = bo_k[idx_b][:, :, None, :]
+        tor_ok = (
+            T["tor_mask"][ti4, tj4, tk4, tl4]
+            & central_ok[:, :, None, None]
+            & nb_mask[:, None, :, None]
+            & (bo_l > THB_CUT)
+            & (ii != kk) & (ll != jnp.arange(n)[:, None, None, None])
+            & (ll != ii)
+            & (bo_c * bo_i * bo_l > THB_CUT)
+        )
+        b1 = -Gk[:, None, :, None, :]
+        b2 = Gk[:, :, None, None, :]
+        b3 = Gk[idx_b][:, :, None, :, :]
+        n1 = jnp.cross(b1, b2)
+        n2 = jnp.cross(b2, b3)
+        s1 = jnp.sum(n1 * n1, -1)
+        s2 = jnp.sum(n2 * n2, -1)
+        # 1e-12 sqrt guards: see the ReaxFFDense torsion comment (the
+        # where-mask does not protect the f32 cotangent path)
+        n1n = jnp.sqrt(s1 + 1e-12)
+        n2n = jnp.sqrt(s2 + 1e-12)
+        cos_w = jnp.clip(jnp.sum(n1 * n2, -1) / (n1n * n2n), -1.0, 1.0)
+        b1n = jnp.sqrt(jnp.sum(b1 * b1, -1) + 1e-12)
+        b2n = jnp.sqrt(jnp.sum(b2 * b2, -1) + 1e-12)
+        b3n = jnp.sqrt(jnp.sum(b3 * b3, -1) + 1e-12)
+        sin_ijk = n1n / (b1n * b2n)
+        sin_jkl = n2n / (b2n * b3n)
+        tor_ok = (tor_ok
+                  & (s1 > jnp.square(MIN_SINE * b1n * b2n))
+                  & (s2 > jnp.square(MIN_SINE * b2n * b3n)))
+
+        def exp_t2(bo_):
+            return 1.0 - jnp.exp(-T["p_tor2"] * bo_)
+
+        f10 = exp_t2(bo_i) * exp_t2(bo_c) * exp_t2(bo_l)
+        d_jk = (B["delta_val"][:, None] + B["delta_val"][idx_b])[
+            :, :, None, None]
+        et3 = jnp.exp(-T["p_tor3"] * d_jk)
+        et4 = jnp.exp(T["p_tor4"] * d_jk)
+        f11 = (2.0 + et3) / (1.0 + et3 + et4)
+        bopi_jk = jnp.take_along_axis(B["bopi"], sel, axis=1)[
+            :, :, None, None]
+        exp_tor1 = jnp.exp(
+            T["p_tor1"][ti4, tj4, tk4, tl4]
+            * jnp.square(2.0 - bopi_jk - f11))
+        cos2w = 2.0 * cos_w * cos_w - 1.0
+        cos3w = cos_w * (2.0 * cos2w - 1.0)
+        V1 = T["V1"][ti4, tj4, tk4, tl4]
+        V2 = T["V2"][ti4, tj4, tk4, tl4]
+        V3 = T["V3"][ti4, tj4, tk4, tl4]
+        e_tor_t = 0.5 * f10 * sin_ijk * sin_jkl * (
+            V1 * (1.0 + cos_w) + V2 * exp_tor1 * (1.0 - cos2w)
+            + V3 * (1.0 + cos3w))
+        e_tor = jnp.sum(jnp.where(tor_ok, e_tor_t, 0.0))
+
+        f12 = (jnp.exp(-T["p_cot2"] * jnp.square(bo_i - 1.5))
+               * jnp.exp(-T["p_cot2"] * jnp.square(bo_c - 1.5))
+               * jnp.exp(-T["p_cot2"] * jnp.square(bo_l - 1.5)))
+        e_con_t = (T["p_cot1"][ti4, tj4, tk4, tl4] * f12
+                   * (1.0 + (cos_w * cos_w - 1.0) * sin_ijk * sin_jkl))
+        e_con = jnp.sum(jnp.where(tor_ok, e_con_t, 0.0))
+
+        # --- hydrogen bonds: acceptors from the nonbonded slot list ---
+        e_hb = jnp.zeros((), dtype)
+        if self.with_hbond:
+            is_acc = T["p_hbond"][t] == 2.0
+            don_ok = (T["p_hbond"][t] == 1.0)[:, None] & nb_mask
+            rz = r[:, None, :]  # (N, 1, K_nb): r(j, z) per slot
+            hb_geo = (rz < HB_CUT) & (rz > 0.0) & mask[:, None, :]
+            tz = t[idx][:, None, :]
+            hb_par = (T["hb_mask"][tk[:, :, None], tj3, tz]
+                      & don_ok[:, :, None]
+                      & is_acc[idx][:, None, :] & hb_geo
+                      & (idx[:, None, :] != idx_b[:, :, None]))
+            ez = G[:, None, :, :]
+            cos_x = jnp.sum(Gk[:, :, None, :] * ez, -1) / jnp.maximum(
+                rk[:, :, None] * rz, 1e-12)
+            sin_x4 = jnp.square(
+                0.5 * (1.0 - jnp.clip(cos_x, -1.0, 1.0)))
+            r0 = T["r0_hb"][tk[:, :, None], tj3, tz]
+            r0 = jnp.where(r0 > 0, r0, 1.0)
+            ehb_t = (T["p_hb1"][tk[:, :, None], tj3, tz]
+                     * (1.0 - jnp.exp(
+                         -T["p_hb2"][tk[:, :, None], tj3, tz]
+                         * bo_k[:, :, None]))
+                     * jnp.exp(-T["p_hb3"][tk[:, :, None], tj3, tz]
+                               * (r0 / jnp.maximum(rz, 1e-6)
+                                  + rz / r0 - 2.0))
+                     * sin_x4)
+            e_hb = jnp.sum(jnp.where(hb_par, ehb_t, 0.0))
+
+        # --- nonbonded on the slot list ---
+        swb = self.cutoff
+        within = mask & (r < swb) & (r > 0.0)
+        tap = jnp.where(within, _taper(r, swb), 0.0)
+        pv = T["p_vdw1"]
+        gw = T["gamma_w_ij"][tl]
+        fn13 = _spow(_spow(r, pv) + _spow(1.0 / gw, pv), 1.0 / pv)
+        rvdw = T["r_vdw_ij"][tl]
+        al = T["alpha_ij"][tl]
+        ex1 = jnp.exp(al * (1.0 - fn13 / rvdw))
+        ex2 = jnp.exp(0.5 * al * (1.0 - fn13 / rvdw))
+        e_vdw = 0.5 * jnp.sum(tap * T["D_ij"][tl] * (ex1 - 2.0 * ex2))
+
+        gam3 = _spow(T["gamma_ij"][tl], -3.0)
+        r3g = _spow(r * r * r + gam3, 1.0 / 3.0)
+        shield = jnp.where(within, tap / r3g, 0.0)
+        if self.qeq:
+            q = self._solve_qeq(shield, idx)
+        else:
+            q = jnp.zeros((n,), dtype)
+        e_coul = 0.5 * C_ELE * jnp.sum(shield * q[:, None] * q[idx])
+        e_pol = EV2KCAL * jnp.sum(
+            T["chi"][t] * q + T["eta"][t] * q * q)
+
+        total = (e_bond + e_lp + e_ov + e_un + e_ang + e_pen + e_coa
+                 + e_tor + e_con + e_hb + e_vdw + e_coul + e_pol)
+        return dict(
+            total=total, e_bond=e_bond, e_lp=e_lp, e_ov=e_ov, e_un=e_un,
+            e_ang=e_ang, e_pen=e_pen, e_coa=e_coa, e_tor=e_tor,
+            e_con=e_con, e_hb=e_hb, e_vdw=e_vdw, e_coul=e_coul,
+            e_pol=e_pol, q=q,
+        )
+
+    def _solve_qeq(self, shield, idx):
+        """Neutrality-constrained EEM charges by Jacobi-preconditioned CG
+        with the list matvec A v = 2 eta v + 14.4 sum_k shield[i,k]
+        v[idx[i,k]] — the fix qeq/reax CG (tol 1e-6) shape, replacing the
+        dense Cholesky.  Static trip count (axon: dynamic while_loops
+        nested in outer control flow hang); 48 Jacobi-CG steps floor the
+        f32 residual on the bench compositions.  Charges are detached
+        (Hellmann-Feynman, see ReaxFFDense._solve_qeq)."""
+        T = self.tables
+        t = self.types
+        n = shield.shape[0]
+        KC_EV = C_ELE / EV2KCAL
+        diag = 2.0 * T["eta"][t]
+        minv = 1.0 / diag
+
+        def matvec(v):
+            return diag * v + KC_EV * jnp.sum(shield * v[idx], axis=1)
+
+        def cg(b):
+            x = minv * b
+            res = b - matvec(x)
+            z = minv * res
+            p = z
+            rz = jnp.sum(res * z)
+
+            def body(_, carry):
+                x, res, p, rz = carry
+                ap = matvec(p)
+                alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-30)
+                x = x + alpha * p
+                res = res - alpha * ap
+                z = minv * res
+                rz_new = jnp.sum(res * z)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                return x, res, z + beta * p, rz_new
+
+            return jax.lax.fori_loop(
+                0, self.qeq_iters, body, (x, res, p, rz))[0]
+
+        s = cg(-T["chi"][t])
+        tv = cg(jnp.ones((n,), shield.dtype))
+        q = s - (jnp.sum(s) / jnp.sum(tv)) * tv
+        return jax.lax.stop_gradient(q)
+
+
 def build_reax(ffield_path: str, elements, masses, dtype=jnp.float64,
-               top_k: int = 8, qeq: bool = True) -> ReaxFFDense:
-    """Build a :class:`ReaxFFDense` for atoms given by ``masses``.
+               top_k: int = 8, qeq: bool = True, impl: str = "list"):
+    """Build a ReaxFF force field for atoms given by ``masses``.
 
     ``elements`` is the pair_coeff element order (["H","C","N","O"] for
     the reference scripts); atom types are inferred from ``masses`` by
     nearest force-field atomic mass — the reference data files carry
-    LAMMPS types whose masses identify the element.
+    LAMMPS types whose masses identify the element.  ``impl`` picks the
+    production neighbor-list field (:class:`ReaxFFList`, O(N K)) or the
+    dense reference twin (:class:`ReaxFFDense`, O(N^2) — the parity
+    anchor the list variant is tested against).
     """
     P = parse_ffield(ffield_path, list(elements))
     m = np.asarray(masses, dtype=np.float64)
@@ -572,7 +1021,8 @@ def build_reax(ffield_path: str, elements, masses, dtype=jnp.float64,
     present = set(int(x) for x in np.unique(type_idx))
     has_h = any(P.p_hbond[i] == 1 for i in present)
     has_acc = any(P.p_hbond[i] == 2 for i in present)
-    return ReaxFFDense(
+    cls = {"list": ReaxFFList, "dense": ReaxFFDense}[impl]
+    return cls(
         tables=tables,
         types=jnp.asarray(type_idx, jnp.int32),
         cutoff=P.swb,

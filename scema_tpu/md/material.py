@@ -104,6 +104,12 @@ class MaterialSpec:
     # K-chunk width (test hook; 0 = auto — stream only when the channel
     # set would not fit the kernel's VMEM window, see _build_fused_runner)
     force_k_chunk: int = 0
+    # bf16 pair-force tiles on the all-pairs kernel (FusedSpec.pair_bf16):
+    # the Newton-reaction XLU transposes move half the bytes; ~0.4%
+    # per-pair force rounding, Newton-exact, f32 accumulators.  None =
+    # auto (the SCEMA_PAIR_BF16 env var decides — bench A/B hook);
+    # True/False pins it.
+    pair_bf16: bool | None = None
     # reax extras (force_field="reax"): ffield.reax path, pair_coeff
     # element order (in.set.lammps: `pair_coeff * * ${locf} H C N O`),
     # charge equilibration on/off, bonded-neighbor gather width
@@ -111,6 +117,9 @@ class MaterialSpec:
     reax_elements: tuple = ("H", "C", "N", "O")
     qeq: bool = True
     reax_top_k: int = 8
+    # "list" = production neighbor-list bond-order field (O(N K), no box
+    # cap); "dense" = the O(N^2) reference twin kept as parity anchor
+    reax_impl: str = "list"
 
 
 @dataclass(frozen=True)
@@ -416,9 +425,13 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
             np.fill_diagonal(Wq, 0.0)
             q = np.asarray(qq_table)
             dense_qq = dense(q[:, None] * q[None, :] * Wq)
+        pair_bf16 = spec.pair_bf16
+        if pair_bf16 is None:
+            pair_bf16 = os.environ.get("SCEMA_PAIR_BF16", "") == "1"
         kspec = MFU.FusedSpec(**{**kspec.__dict__, "allpairs": True,
                                  "tri_packed": tri_packed,
-                                 "img_bf16": tri_packed})
+                                 "img_bf16": tri_packed,
+                                 "pair_bf16": pair_bf16})
     else:
         # gather-list path: stream the (K, NT, 128) channel set from HBM
         # in double-buffered K-chunks when it would not fit the kernel's
@@ -436,11 +449,18 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
         if kc == 0 and ch_bytes > 48 * 1024 * 1024:
             # Size the streamed double buffers from a VMEM budget, not a
             # fixed chunk: the scratch is n_ch x 2 slots x kc x NT_pad x
-            # LANE x 4 B, so a constant kc=128 re-approaches the 116 MB
-            # kernel ceiling as NT grows (~0.92 MB per NT tile at
-            # n_ch=7).  32 MB leaves the state window + pair scratch
-            # their hardware-measured share at every gate size.
-            budget = 32 * 1024 * 1024
+            # LANE x 4 B, so a constant kc=128 re-approaches the VMEM
+            # ceiling as NT grows (~0.92 MB per NT tile at n_ch=7).
+            # The budget is 12 MB, NOT the kernel's 116 MB limit: when
+            # the kernel runs under a batched map (vmap -> lax.map, the
+            # job axis), XLA wraps the pallas call in a fusion whose
+            # scoped-vmem accounting uses the 16 MB default REGARDLESS
+            # of the kernel's own vmem_limit_bytes — the round-5
+            # hardware ladder measured 22 MB scratch (kc=128, NT=18)
+            # "Scoped allocation 21.00M, limit 16.00M" under lax.map
+            # while the identical unbatched kernel compiled fine.
+            # 12 MB leaves ~4 MB for the fusion's own loop buffers.
+            budget = 12 * 1024 * 1024
             per_slot = n_ch * 2 * nt_pad * MFU.LANE * 4
             kc = min(128, max(8, (budget // per_slot) // 8 * 8))
         if kc:
@@ -686,8 +706,9 @@ def _build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.
         return sys, st
     elif spec.force_field == "reax":
         # pair_style reax/c + fix qeq/reax (lammps_scripts_reax/
-        # in.set.lammps:13-15) — the dense-field TPU implementation
-        # (forcefields/reax.py).  Structures come from the same builders
+        # in.set.lammps:13-15) — the neighbor-list bond-order field
+        # (forcefields/reax.ReaxFFList; reax_impl="dense" keeps the
+        # O(N^2) parity twin).  Structures come from the same builders
         # as OPLS: a LAMMPS data file (atom_style charge) or the
         # all-atom PE melt; element identity is inferred from masses.
         from . import data_io
@@ -699,10 +720,11 @@ def _build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.
             data = data_io.build_pe_melt_allatom(
                 spec.n_chains, spec.chain_length, density=spec.pe_density)
         n = len(data.pos)
-        if n > 2048:
+        if spec.reax_impl == "dense" and n > 2048:
             raise ValueError(
                 f"reax box has {n} atoms; the dense bond-order field is "
-                "sized for the HMM per-qp regime (<= 2048)")
+                "sized for the HMM per-qp regime (<= 2048) — use the "
+                "default reax_impl='list'")
         if not spec.reax_ffield:
             raise ValueError(
                 "force_field='reax' needs reax_ffield (path to a "
@@ -710,10 +732,16 @@ def _build_system(spec: MaterialSpec, dtype=jnp.float64) -> tuple[E.MDSystem, E.
         masses_np = data.masses[data.types]
         ff = build_reax(
             spec.reax_ffield, list(spec.reax_elements), masses_np,
-            dtype=dtype, top_k=spec.reax_top_k, qeq=spec.qeq)
+            dtype=dtype, top_k=spec.reax_top_k, qeq=spec.qeq,
+            impl=spec.reax_impl)
         cutoff = ff.cutoff
+        # the list field consumes the engine neighbor list directly:
+        # size K to cover every pair inside the taper radius (hbond's
+        # 7.5 A and the ~5 A bond region are subsets of swb = 10 A)
+        k_need = NB.required_k(n, np.asarray(data.box, float),
+                               cutoff + 1.0)
         nspec = NB.derive_spec(n, data.box, cutoff=cutoff, skin=1.0,
-                               k_max=32)
+                               k_max=min(k_need, max(n - 1, 1)))
         if spec.validate:
             # the dense field needs no neighbor list — only the
             # minimum-image bound applies (taper cutoff < half box)

@@ -173,6 +173,19 @@ class FusedSpec:
     # channels scale O(N K) in HBM; VMEM holds 2 x k_chunk slots.
     # Requires k % k_chunk == 0 (material.py pads K up).
     k_chunk: int = 0
+    # bf16 pair-force tiles with f32 accumulators (all-pairs LJ/OPLS
+    # only): the per-block force tiles wx/wy/wz are downcast to bf16
+    # ONCE and that same value feeds both the lane-side accumulation and
+    # the reaction transpose — Newton's third law holds exactly despite
+    # the rounding, and the (128, 128) XLU reaction transposes (the
+    # measured wall of the cached-Newton design, PLAN_NEXT round-3
+    # ledger) move half the bytes.  Geometry (dx, r2, 1/r2) and the
+    # accumulators stay f32: displacement differences cancel
+    # catastrophically in bf16 and accumulation order noise would
+    # swamp the virial.  Per-pair force error ~0.4% (1 bf16 ulp),
+    # unbiased — validated against f32 stress statistics in
+    # tests/test_md_fused.py and gated by the bench A/B on silicon.
+    pair_bf16: bool = False
 
 
 # topo channel rows (chain-structured bonded terms; term k starts at atom k)
@@ -1171,13 +1184,23 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                     wx = fpair * dx
                     wy = fpair * dy
                     wz = fpair * dz
-                    acc[t][0] = acc[t][0] - wx
-                    acc[t][1] = acc[t][1] - wy
-                    acc[t][2] = acc[t][2] - wz
+                    if spec.pair_bf16:
+                        # one downcast serves action AND reaction (Newton-
+                        # exact); the XLU transpose below runs on half the
+                        # bytes.  Accumulators stay f32.
+                        wx = wx.astype(jnp.bfloat16)
+                        wy = wy.astype(jnp.bfloat16)
+                        wz = wz.astype(jnp.bfloat16)
+                    acc[t][0] = acc[t][0] - wx.astype(dtype)
+                    acc[t][1] = acc[t][1] - wy.astype(dtype)
+                    acc[t][2] = acc[t][2] - wz.astype(dtype)
                     if u > t:
-                        acc[u][0] = acc[u][0] + jnp.swapaxes(wx, 0, 1)
-                        acc[u][1] = acc[u][1] + jnp.swapaxes(wy, 0, 1)
-                        acc[u][2] = acc[u][2] + jnp.swapaxes(wz, 0, 1)
+                        acc[u][0] = acc[u][0] + jnp.swapaxes(
+                            wx, 0, 1).astype(dtype)
+                        acc[u][1] = acc[u][1] + jnp.swapaxes(
+                            wy, 0, 1).astype(dtype)
+                        acc[u][2] = acc[u][2] + jnp.swapaxes(
+                            wz, 0, 1).astype(dtype)
                     if sample:
                         # u > t blocks see each unordered pair once (full
                         # weight); the diagonal block sees both orders

@@ -560,3 +560,57 @@ def test_multi_job_packing_matches_single():
                        rtol=0.0, atol=1e-12)
     assert np.array_equal(np.asarray(out3.pos[1]), np.asarray(st.pos))
     assert np.array_equal(np.asarray(out3.vel[1]), np.asarray(st.vel))
+
+
+def test_pair_bf16_close_to_f32_and_newton_exact():
+    """FusedSpec.pair_bf16 (bf16 pair-force tiles, f32 accumulators — the
+    round-5 transpose-bandwidth lever): per-pair rounding is ~1 bf16 ulp
+    so a short trajectory stays within loose tolerance of the f32 path,
+    the homogenized stress within ~1%, and — because one downcast value
+    feeds both the lane accumulation and the reaction transpose —
+    Newton's third law holds exactly: a thermostat-free step changes
+    total momentum only through the bonded/deform terms, identically to
+    the f32 path's pair contribution (zero)."""
+    from scema_tpu.md import material as M
+    from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
+
+    common = dict(name="m", force_field="opls", n_chains=32, chain_length=6,
+                  opls_lj_cutoff=6.0, opls_coul_cutoff=6.0, validate=False,
+                  rebuild_every=10, use_fused=True)
+    sys_f, st = M.build_system(M.MaterialSpec(**common, pair_bf16=False))
+    sys_b, _ = M.build_system(M.MaterialSpec(**common, pair_bf16=True))
+    assert not sys_f.fused.spec.pair_bf16
+    assert sys_b.fused.spec.pair_bf16
+
+    st = E.minimize_fire(sys_f, st, n_steps=100, dt0=0.5)
+    st = st._replace(vel=E.maxwell_velocities(sys_f, jax.random.PRNGKey(5),
+                                              80.0))
+    params = MDParams(temperature=80.0, dt=1.0, strain_rate=1e-3,
+                      nsteps_sample=10)
+    dl = jnp.asarray([0.01, -0.01, 0.02, 0.0, 0.004, 0.0])
+    out_f, sig_f = strain_and_homogenize(sys_f, st, dl, params)
+    out_b, sig_b = strain_and_homogenize(sys_b, st, dl, params)
+    assert np.isfinite(np.asarray(out_b.pos)).all()
+    # trajectory: chaotic divergence bounded over the short run
+    assert np.allclose(np.asarray(out_b.pos), np.asarray(out_f.pos),
+                       atol=0.1)
+    # stress statistics: the homogenization observable the HMM consumes
+    scale = np.abs(np.asarray(sig_f)).max()
+    assert np.allclose(np.asarray(sig_b), np.asarray(sig_f),
+                       atol=0.02 * scale + 1e4)
+
+    # Newton exactness: pure pair forces sum to zero in BOTH precisions.
+    # Compare one velocity-Verlet half-kick's total momentum change; any
+    # action/reaction rounding asymmetry would show up at bf16-ulp scale
+    # of the largest pair force, orders above f64-interpret round-off.
+    p0 = np.asarray(st.vel * sys_f.masses[:, None]).sum(axis=0)
+    one = MDParams(temperature=80.0, dt=1.0, strain_rate=0.0,
+                   nsteps_sample=1)
+    o_b, _ = strain_and_homogenize(sys_b, st, jnp.zeros(6), one)
+    o_f, _ = strain_and_homogenize(sys_f, st, jnp.zeros(6), one)
+    pb = np.asarray(o_b.vel * sys_f.masses[:, None]).sum(axis=0)
+    pf = np.asarray(o_f.vel * sys_f.masses[:, None]).sum(axis=0)
+    # both paths drift identically (thermostat noise aside): bf16 pair
+    # sums cancel exactly, so the difference of drifts is ~round-off
+    assert np.abs((pb - p0) - (pf - p0)).max() < 1e-3 * (
+        np.abs(pf - p0).max() + 1.0)

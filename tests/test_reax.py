@@ -457,3 +457,80 @@ class TestExternalAnchors:
         q = np.asarray(ff.energy_terms(jnp.asarray(p), BOX)["q"])
         assert -0.55 < q[0] < -0.25
         assert np.all(q[1:] > 0.0)
+
+
+class TestListField:
+    """ReaxFFList (production O(N K) neighbor-list field) vs ReaxFFDense
+    (the O(N^2) twin anchored to reax/c semantics): same tables, same
+    functional forms, list-structured pair state + CG QEq.  Parity must
+    hold to solver tolerance wherever the slot list covers the taper
+    radius — which the engine list guarantees by construction
+    (material.py sizes k_max from NB.required_k at swb + skin)."""
+
+    def test_ch4_terms_and_forces_match_dense(self):
+        pos, masses = _ch4()
+        ffd = _ff(masses, impl="dense")
+        ffl = _ff(masses, impl="list")
+        td = ffd.energy_terms(jnp.asarray(pos), BOX)
+        tl = ffl.energy_terms(jnp.asarray(pos), BOX)
+        for k in ("total", "e_bond", "e_ang", "e_tor", "e_vdw", "e_coul",
+                  "e_pol", "e_ov", "e_un"):
+            assert float(tl[k]) == pytest.approx(float(td[k]),
+                                                 rel=1e-9, abs=1e-9), k
+        gd = jax.grad(lambda p: ffd.energy(p, BOX))(jnp.asarray(pos))
+        gl = jax.grad(lambda p: ffl.energy(p, BOX))(jnp.asarray(pos))
+        assert np.allclose(np.asarray(gl), np.asarray(gd), atol=1e-9)
+
+    def test_water_hbond_matches_dense(self):
+        w = np.array([[0, 0, 0], [0.97, 0, 0], [-0.25, 0.94, 0]], float)
+        pos = np.vstack([w, w + np.array([2.9, 0.2, 0.1])])
+        m = [15.999, 1.008, 1.008] * 2
+        ffd = _ff(m, impl="dense")
+        ffl = _ff(m, impl="list")
+        assert ffl.with_hbond
+        td = ffd.energy_terms(jnp.asarray(pos), BOX)
+        tl = ffl.energy_terms(jnp.asarray(pos), BOX)
+        assert float(tl["e_hb"]) == pytest.approx(float(td["e_hb"]),
+                                                  rel=1e-9)
+        assert float(tl["total"]) == pytest.approx(float(td["total"]),
+                                                   rel=1e-9)
+
+    def test_melt_engine_list_matches_dense(self):
+        """Through the production path: build_system gives ReaxFFList +
+        an engine neighbor list; forces/energy must match the dense twin
+        to CG-vs-Cholesky tolerance on a relaxed melt."""
+        common = dict(name="rx", force_field="reax", n_chains=16,
+                      chain_length=3, pe_density=0.30, validate=False,
+                      reax_ffield=FFIELD)
+        sys_l, st = M.build_system(M.MaterialSpec(**common),
+                                   dtype=jnp.float64)
+        sys_d, _ = M.build_system(
+            M.MaterialSpec(**common, reax_impl="dense"), dtype=jnp.float64)
+        from scema_tpu.md.forcefields.reax import ReaxFFList
+
+        assert isinstance(sys_l.ff, ReaxFFList)
+        st = E.minimize_fire(sys_d, st, n_steps=50, dt0=0.05)
+        nbr = sys_l.build_neighbors(st.pos, st.h)
+        e_l = float(sys_l.ff.energy(st.pos, st.h, nbr))
+        e_d = float(sys_d.ff.energy(st.pos, st.h, None))
+        assert e_l == pytest.approx(e_d, rel=1e-8)
+        f_l = -jax.grad(lambda p: sys_l.ff.energy(p, st.h, nbr))(st.pos)
+        f_d = -jax.grad(lambda p: sys_d.ff.energy(p, st.h, None))(st.pos)
+        scale = float(jnp.abs(f_d).max())
+        assert float(jnp.abs(f_l - f_d).max()) < 1e-8 * scale
+
+    def test_big_box_beyond_dense_cap(self):
+        """The list field has no 2048-atom ceiling: a 4224-atom reactive
+        melt builds, evaluates finite energy/forces, and the binned
+        neighbor path (k_max << N) is in play."""
+        spec = M.MaterialSpec(
+            name="rxbig", force_field="reax", n_chains=384, chain_length=3,
+            pe_density=0.55, validate=False, reax_ffield=FFIELD)
+        sys_, st = M.build_system(spec, dtype=jnp.float32)
+        assert sys_.n_atoms > 2048
+        assert sys_.nspec.k_max < sys_.n_atoms - 1
+        st = E.minimize_fire(sys_, st, n_steps=10, dt0=0.05)
+        nbr = sys_.build_neighbors(st.pos, st.h)
+        e = float(sys_.ff.energy(st.pos, st.h, nbr))
+        f = -jax.grad(lambda p: sys_.ff.energy(p, st.h, nbr))(st.pos)
+        assert np.isfinite(e) and bool(jnp.isfinite(f).all())
