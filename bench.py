@@ -38,7 +38,7 @@ import time
 #   3. a total wall budget after which remaining phases are skipped and
 #      whatever accumulated is flushed.  The headline phase runs first.
 PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_S", 150))
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_S", 1800))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_S", 2400))
 
 # Persistent XLA compilation cache, shared across bench runs.  Measured
 # through the axon relay: the fused-kernel compiles that blew the 420 s
@@ -241,10 +241,63 @@ def bench_hmm_allatom():
     return dt_s, jobs, n_atoms
 
 
+def bench_md_charged_bigbox():
+    """Above-all-pairs-gate charged box (2240 atoms > the 1792 gate):
+    the HBM-streamed gather-list kernel serves — the regime the round-4
+    VERDICT flagged as unmeasured on silicon.  Same physics as
+    bench_md_allatom (lj/cut/coul/long + SHAKE + kspace split)."""
+    from scema_tpu.md import material as M
+
+    spec = M.MaterialSpec(
+        name="peaa2240", force_field="opls", allatom=True,
+        n_chains=70, chain_length=10, pe_density=0.68,
+        opls_lj_cutoff=12.0, opls_coul_cutoff=9.0,
+        use_ewald=True, kspace_every=10, kspace="pme",
+        force_list_kernel=True)
+    return _bench_throughput(spec, n_jobs=8, n_steps=100, dt=1.0)
+
+
+def bench_hmm_reax():
+    """The coupled dogbone HMM with REACTIVE MD at every flagged qp
+    (the reference's inputs_dogbone_file3D.json class: pair_style
+    reax/c + fix qeq/reax), capacity capped to bound step cost."""
+    import jax
+    import numpy as np
+    from scema_tpu.config import load_config
+    from scema_tpu.hmm.md_coupling import build_md_hmm
+    from scema_tpu.md import material as M
+
+    cfg = load_config(
+        "/root/reference/input_configurations/inputs_dogbone_cuboid.json",
+        dtype="float32", md_dtype="float32",
+    )
+    cfg = cfg.replace(resources=cfg.resources.__class__(
+        machine_cores_per_node=cfg.resources.machine_cores_per_node,
+        fe_cores_max=cfg.resources.fe_cores_max,
+        md_cores_min=cfg.resources.md_cores_min,
+        max_md_jobs=32,
+    ))
+    spec = M.MaterialSpec(
+        name="reaxpe", force_field="reax", n_chains=16, chain_length=3,
+        pe_density=0.30, validate=False,
+        reax_ffield="/root/reference/lammps_scripts/lammps_scripts_reax/"
+                    "ffield.reax.2")
+    hmm = build_md_hmm(cfg, spec=spec, equil_steps=20, minimize_steps=60)
+    carry = hmm.init_state()
+    step = jax.jit(hmm.step)
+    carry, out = step(carry)
+    float(np.asarray(carry[0].u[0]))
+    t0 = time.perf_counter()
+    carry, out = step(carry)
+    float(np.asarray(carry[0].u[0]))
+    dt_s = time.perf_counter() - t0
+    return dt_s, int(out.n_jobs), hmm.backend.sys.n_atoms
+
+
 def bench_md_reax():
     """ReaxFF throughput: the reference's reax config class
     (pair_style reax/c + fix qeq/reax, inputs_dogbone_file3D.json) on
-    the dense bond-order field — batched small reactive boxes, NVT."""
+    the neighbor-list bond-order field — batched reactive boxes, NVT."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -383,9 +436,27 @@ def phase_md_allatom():
 
 def phase_md_reax():
     rx = bench_md_reax()
-    print(f"[bench] ReaxFF (dense field + QEq): {rx:.3e} atom-steps/s",
+    print(f"[bench] ReaxFF (list field + CG QEq): {rx:.3e} atom-steps/s",
           file=sys.stderr)
     return {"md_reax_atom_steps_per_sec": round(rx, 0)}
+
+
+def phase_md_charged_bigbox():
+    big = bench_md_charged_bigbox()
+    print(f"[bench] 2240-atom charged box (streamed list kernel): "
+          f"{big:.3e} atom-steps/s", file=sys.stderr)
+    return {"md_charged_bigbox_atom_steps_per_sec": round(big, 0)}
+
+
+def phase_hmm_reax():
+    dt_s, jobs, n_atoms = bench_hmm_reax()
+    print(f"[bench] coupled reax dogbone: {dt_s:.2f} s/step, "
+          f"{jobs} jobs x {n_atoms} atoms", file=sys.stderr)
+    return {
+        "hmm_reax_s_per_step": round(dt_s, 2),
+        "hmm_reax_jobs": jobs,
+        "hmm_reax_box_atoms": n_atoms,
+    }
 
 
 def phase_sisw():
@@ -449,6 +520,8 @@ PHASES = [
     ("md_reax", 420.0, phase_md_reax),
     ("sisw", 420.0, phase_sisw),
     ("hmm_allatom", 800.0, phase_hmm_allatom),
+    ("md_charged_bigbox", 700.0, phase_md_charged_bigbox),
+    ("hmm_reax", 600.0, phase_hmm_reax),
 ]
 _PHASE_FNS = {name: fn for name, _, fn in PHASES}
 _PHASE_FNS["hmm_hooke_cpu"] = phase_hmm_hooke_cpu

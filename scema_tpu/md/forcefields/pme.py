@@ -97,6 +97,14 @@ class PME:
     order: int = SPLINE_ORDER
     qqr2e: float = QQR2E_REAL
     _ewald_ref: object = None  # real-space/self/exclusion provider
+    # 3-D DFT as three MXU tensor contractions with precomputed complex
+    # DFT matrices instead of jnp.fft.fftn: TPUs have no FFT hardware —
+    # XLA's generic decomposition of a K~32-64 fftn is a chain of small
+    # strided steps that neither tiles the MXU nor fuses, while the
+    # matmul form is 3 x (K^3, K) complex contractions (~0.25 GFLOP at
+    # K=40, microseconds at MXU rate) and autodiffs into the same
+    # matmuls transposed.  None = auto (on for TPU backends).
+    dft_matmul: bool | None = None
 
     @staticmethod
     def create(charges, cutoff: float, h0, accuracy: float = 1.0e-4,
@@ -177,11 +185,32 @@ class PME:
         rho = Wx.T @ Byz  # (K1, K2*K3) — MXU
         return rho.reshape(K)
 
+    def _fft3(self, rho):
+        use_matmul = self.dft_matmul
+        if use_matmul is None:
+            use_matmul = jax.default_backend() == "tpu"
+        if not use_matmul:
+            return jnp.fft.fftn(rho)
+        # three complex tensor contractions (XLA lowers each to 4 real
+        # MXU matmuls); matrices are tiny (K, K) constants
+        cdtype = (jnp.complex128 if rho.dtype == jnp.float64
+                  else jnp.complex64)
+
+        def dmat(Ki):
+            m = np.arange(Ki)
+            return jnp.asarray(
+                np.exp(-2j * np.pi * np.outer(m, m) / Ki), cdtype)
+
+        F = jnp.einsum("ak,kbc->abc", dmat(self.mesh[0]),
+                       rho.astype(cdtype))
+        F = jnp.einsum("bk,akc->abc", dmat(self.mesh[1]), F)
+        return jnp.einsum("ck,abk->abc", dmat(self.mesh[2]), F)
+
     def reciprocal_energy(self, pos, h):
         """(2 pi / V) sum_{k != 0} e^{-k^2/4a^2}/k^2 B(m) |F(rho)(m)|^2."""
         K = self.mesh
         rho = self._spread(pos, h)
-        F = jnp.fft.fftn(rho)
+        F = self._fft3(rho)
         s2 = jnp.real(F) ** 2 + jnp.imag(F) ** 2
 
         def freqs(Ki):

@@ -451,16 +451,19 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
             # fixed chunk: the scratch is n_ch x 2 slots x kc x NT_pad x
             # LANE x 4 B, so a constant kc=128 re-approaches the VMEM
             # ceiling as NT grows (~0.92 MB per NT tile at n_ch=7).
-            # The budget is 12 MB, NOT the kernel's 116 MB limit: when
+            # The budget is 9 MB, NOT the kernel's 116 MB limit: when
             # the kernel runs under a batched map (vmap -> lax.map, the
             # job axis), XLA wraps the pallas call in a fusion whose
             # scoped-vmem accounting uses the 16 MB default REGARDLESS
             # of the kernel's own vmem_limit_bytes — the round-5
             # hardware ladder measured 22 MB scratch (kc=128, NT=18)
             # "Scoped allocation 21.00M, limit 16.00M" under lax.map
-            # while the identical unbatched kernel compiled fine.
-            # 12 MB leaves ~4 MB for the fusion's own loop buffers.
-            budget = 12 * 1024 * 1024
+            # while the identical unbatched kernel compiled fine, and a
+            # 12 MB budget still missed by 788 KB at NT=14 (the fusion
+            # itself charges ~4.8 MB of windows/outputs/Mosaic
+            # overhead).  9 MB scratch + ~5 MB fusion overhead leaves
+            # ~2 MB of margin at every ladder size.
+            budget = 9 * 1024 * 1024
             per_slot = n_ch * 2 * nt_pad * MFU.LANE * 4
             kc = min(128, max(8, (budget // per_slot) // 8 * 8))
         if kc:
