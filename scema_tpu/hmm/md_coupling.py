@@ -579,6 +579,13 @@ def build_md_hmm(
             chunk = max(1, min(
                 64,
                 2_000_000 // max(sys.n_atoms * slots * max(n_repl, 1), 1)))
+        if (sys.fused is not None
+                and getattr(sys.fused.spec, "k_chunk", 0)):
+            # HBM-streamed list kernels batch by UNROLLING the job vmap
+            # (md_fused._unrolled_vmap — the lax.map form tripped XLA's
+            # 16 MB fusion scoped-vmem accounting on hardware); bound
+            # the unroll so scan-body HLO stays compilable
+            chunk = min(chunk, 8)
         backends.append(MDBackend(
             sys=sys, params=params, ensemble=ens, n_repl=n_repl,
             max_jobs=max_jobs, initial_md_state=st0, device_mesh=device_mesh,

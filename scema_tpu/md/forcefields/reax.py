@@ -642,13 +642,24 @@ class ReaxFFList:
         return NB.NeighborList(idx=idx, mask=jnp.ones_like(idx, bool))
 
     def bond_orders(self, pos, h, nbr=None):
-        """Diagnostic twin of ReaxFFDense.bond_orders on the slot field."""
+        """Diagnostic twin of ReaxFFDense.bond_orders — scattered back to
+        (n, n) atom-pair matrices so callers (analysis tooling, the
+        external-anchor tests) keep the ``fix reax/c/bonds`` indexing
+        regardless of the internal slot layout."""
         if nbr is None:
             nbr = self._default_nbr(pos.shape[0])
         G, r, mask = self._pair_geometry(pos, h, nbr)
         B = self._bond_orders(r, nbr.idx, mask)
-        return {"bo": B["bo"], "sigma": B["bos"], "pi": B["bopi"],
-                "pipi": B["bopp"], "total": B["total"], "idx": nbr.idx}
+        n = pos.shape[0]
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], nbr.idx.shape)
+
+        def dense(v):
+            return jnp.zeros((n, n), v.dtype).at[rows, nbr.idx].max(
+                jnp.where(mask, v, 0.0))
+
+        return {"bo": dense(B["bo"]), "sigma": dense(B["bos"]),
+                "pi": dense(B["bopi"]), "pipi": dense(B["bopp"]),
+                "total": B["total"]}
 
     # -- energy ----------------------------------------------------------
     def energy(self, pos, h, nbr=None):

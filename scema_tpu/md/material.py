@@ -451,19 +451,17 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
             # fixed chunk: the scratch is n_ch x 2 slots x kc x NT_pad x
             # LANE x 4 B, so a constant kc=128 re-approaches the VMEM
             # ceiling as NT grows (~0.92 MB per NT tile at n_ch=7).
-            # The budget is 9 MB, NOT the kernel's 116 MB limit: when
-            # the kernel runs under a batched map (vmap -> lax.map, the
-            # job axis), XLA wraps the pallas call in a fusion whose
-            # scoped-vmem accounting uses the 16 MB default REGARDLESS
-            # of the kernel's own vmem_limit_bytes — the round-5
-            # hardware ladder measured 22 MB scratch (kc=128, NT=18)
-            # "Scoped allocation 21.00M, limit 16.00M" under lax.map
-            # while the identical unbatched kernel compiled fine, and a
-            # 12 MB budget still missed by 788 KB at NT=14 (the fusion
-            # itself charges ~4.8 MB of windows/outputs/Mosaic
-            # overhead).  9 MB scratch + ~5 MB fusion overhead leaves
-            # ~2 MB of margin at every ladder size.
-            budget = 9 * 1024 * 1024
+            # 24 MB budget against the kernel's 116 MB limit.  History:
+            # under a vmap lowered to lax.map, XLA fused the pallas call
+            # with its operand slices and charged the kernel's VMEM to
+            # the fusion's 16 MB default scoped budget regardless of
+            # vmem_limit_bytes (round-5 hardware ladder: NT=35 OOM'd at
+            # 19.1 M even with a 9 MB scratch budget — the windows alone
+            # scale with NT).  The job vmap therefore UNROLLS
+            # (md_fused._unrolled_vmap), each call standing alone with
+            # its own 116 MB accounting — kc=128 at NT=18 (22 MB
+            # scratch) is hardware-proven in that form.
+            budget = 24 * 1024 * 1024
             per_slot = n_ch * 2 * nt_pad * MFU.LANE * 4
             kc = min(128, max(8, (budget // per_slot) // 8 * 8))
         if kc:

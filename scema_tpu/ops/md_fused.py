@@ -1574,6 +1574,33 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
     return kernel
 
 
+def _unrolled_vmap(fn):
+    """vmap via a Python-unrolled per-element loop (see the k_chunk
+    call-site comment).  Recursing through the wrapped callable makes
+    nested vmaps unroll level by level."""
+
+    @jax.custom_batching.custom_vmap
+    def wrapped(*args):
+        return fn(*args)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        in_b = jax.tree_util.tree_leaves(in_batched)
+        outs = []
+        for b in range(axis_size):
+            args_b = [
+                jax.lax.index_in_dim(a, b, 0, keepdims=False) if ib else a
+                for a, ib in zip(args, in_b)
+            ]
+            outs.append(wrapped(*args_b))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *outs)
+        out_batched = jax.tree_util.tree_map(lambda _: True, outs[0])
+        return stacked, out_batched
+
+    return wrapped
+
+
 @partial(jax.jit, static_argnames=("spec", "deform", "sample", "thermostat"))
 def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
                 deform=True, sample=False, thermostat=True):
@@ -1736,10 +1763,20 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
         # which ANY-space operands reject (round-5 hardware ladder:
         # c1792L/c2240L/c4480S all failed at trace time under the 8-job
         # vmap while the unbatched sparity rung passed).  Lower vmap to
-        # lax.map instead — semantically identical, and on v5e (one
-        # TensorCore per chip) grid programs over jobs serialize anyway,
-        # so sequential jobs cost only the per-call dispatch.
-        call = jax.custom_batching.sequential_vmap(call)
+        # an UNROLLED per-job loop — not lax.map: inside a while-loop
+        # body XLA fuses the pallas call with its operand slices and
+        # charges the kernel's VMEM to the fusion's 16 MB default
+        # scoped budget regardless of vmem_limit_bytes (measured on
+        # silicon: NT=35 windows+scratch = 19.1 M > 16 M under lax.map,
+        # while the identical unbatched call compiles against its own
+        # 116 MB limit).  Unrolled calls stand alone; the Mosaic kernel
+        # compiles once and is shared.  Semantically identical, and on
+        # v5e (one TensorCore per chip) batched jobs serialize anyway.
+        # Interpret mode (CPU tests) keeps Pallas's native batching —
+        # the fusion accounting is a Mosaic-hardware-path behavior, and
+        # unrolling would double the already-heavy interpret trace.
+        if not spec.interpret:
+            call = _unrolled_vmap(call)
     out = call(
         iscal, fscal, state[None],
         *operands,

@@ -308,10 +308,11 @@ def test_allatom_streamed_list_kernel_matches_resident():
 
 def test_streamed_list_kernel_vmaps_over_jobs():
     """vmap over a job batch must reach the streamed kernel: its ANY-
-    memory-space channel operands reject Pallas's blocked batching rule,
-    so fused_chunk lowers vmap to lax.map (sequential_vmap).  The round-5
-    hardware ladder caught this — every batched streamed rung failed at
-    trace time while the unbatched parity rung passed.  Batched must
+    memory-space channel operands reject Pallas's blocked batching rule
+    on hardware, where fused_chunk unrolls the job loop
+    (md_fused._unrolled_vmap); interpret mode keeps native batching.
+    The round-5 hardware ladder caught this — every batched streamed
+    rung failed while the unbatched parity rung passed.  Batched must
     equal single-job bit-exactly (same kernel, same order)."""
     c = dict(COMMON, use_ewald=True)
     sys_s, st = M.build_system(M.MaterialSpec(**c, use_fused=True,
