@@ -1592,6 +1592,13 @@ def _unrolled_vmap(fn):
                 jax.lax.index_in_dim(a, b, 0, keepdims=False) if ib else a
                 for a, ib in zip(args, in_b)
             ]
+            # barrier: without it XLA fuses the per-element slices INTO
+            # the pallas custom call (kCustom fusion), and a fused
+            # pallas call is charged against the 16 MB default scoped-
+            # vmem budget instead of its own vmem_limit_bytes (round-5
+            # ladder: 16.78 M > 16 M at NT=14 even fully unrolled).
+            # The barrier costs one HBM copy of each sliced operand.
+            args_b = list(jax.lax.optimization_barrier(tuple(args_b)))
             outs.append(wrapped(*args_b))
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *outs)
