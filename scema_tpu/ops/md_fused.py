@@ -34,6 +34,7 @@ Layouts: state channels are (8, NT, 128) tile-major rows
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -186,6 +187,14 @@ class FusedSpec:
     # unbiased — validated against f32 stress statistics in
     # tests/test_md_fused.py and gated by the bench A/B on silicon.
     pair_bf16: bool = False
+    # streamed-list batch grid: the kernel runs under grid=(B,) with one
+    # program per job, reading its job's slice of the leading-B ANY
+    # channels via program_id(0) (see _streamed_call — the job vmap
+    # lowers HERE instead of to Pallas's blocked batching, which ANY
+    # operands reject, or to lax.map/unrolled calls, whose surrounding
+    # fusions XLA charges against a 16 MB scoped-vmem default no matter
+    # what vmem_limit_bytes says — both measured on silicon, round 5).
+    batch_grid: bool = False
 
 
 # topo channel rows (chain-structured bonded terms; term k starts at atom k)
@@ -863,6 +872,10 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
     def kernel(iscal_ref, fscal_ref, state_ref, idx_ref, w4e_ref, sig2_ref,
                imx_ref, imy_ref, imz_ref, qq_ref, topo_ref, pat_ref,
                shk_ref, fxt_ref, state_out, sacc_ref, *scratch):
+        # job-grid program index, hoisted to kernel top level: inside a
+        # fori_loop body program_id has no interpret-mode lowering, and
+        # closing over the top-level value works on both paths
+        jb0 = pl.program_id(0) if spec.batch_grid else None
         dtype = state_ref.dtype
         # J jobs share one program (spec.jobs > 1 fills the machine's ILP
         # slack with independent block chains; measured +16% at J=2 on
@@ -1301,11 +1314,19 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
                 sems = scratch[n_stream]
                 hbm = [idx_ref, w4e_ref, sig2_ref, imx_ref, imy_ref,
                        imz_ref] + ([qq_ref] if spec.coul else [])
-
-                def get_dma(i, slot, c):
-                    return pltpu.make_async_copy(
-                        hbm[i].at[0, pl.ds(c * KC, KC)],
-                        bufs[i].at[slot], sems.at[slot, i])
+                if spec.batch_grid:
+                    # grid over jobs: channels carry a leading B axis;
+                    # this program streams its own job's slice (jb0 is
+                    # the top-level program_id, closed over)
+                    def get_dma(i, slot, c):
+                        return pltpu.make_async_copy(
+                            hbm[i].at[jb0, 0, pl.ds(c * KC, KC)],
+                            bufs[i].at[slot], sems.at[slot, i])
+                else:
+                    def get_dma(i, slot, c):
+                        return pltpu.make_async_copy(
+                            hbm[i].at[0, pl.ds(c * KC, KC)],
+                            bufs[i].at[slot], sems.at[slot, i])
 
                 def start_all(slot, c):
                     for i in range(n_stream):
@@ -1574,38 +1595,127 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
     return kernel
 
 
-def _unrolled_vmap(fn):
-    """vmap via a Python-unrolled per-element loop (see the k_chunk
-    call-site comment).  Recursing through the wrapped callable makes
-    nested vmaps unroll level by level."""
+def _build_streamed_grid_call(spec, deform, sample, thermostat):
+    """Batched launch for the HBM-streamed list kernel: grid over jobs.
 
-    @jax.custom_batching.custom_vmap
-    def wrapped(*args):
-        return fn(*args)
+    Pallas's own vmap batching rejects memory-space-ANY operands, and
+    every alternative that leaves the batching to XLA (lax.map,
+    unrolled per-job calls, optimization_barrier isolation) was measured
+    on silicon to wrap the pallas call in a fusion whose scoped-vmem
+    accounting caps at the 16 MB default regardless of the kernel's
+    vmem_limit_bytes.  So batching happens INSIDE the one pallas call:
+    grid=(B,), one sequential program per job; blocked operands index
+    their job's block, the ANY-space neighbor channels carry a leading
+    B axis the kernel slices via program_id(0) (FusedSpec.batch_grid),
+    and VMEM scratch is reused across programs.  The unbatched shape —
+    hardware-proven — is exactly the B=1 case.
 
-    @wrapped.def_vmap
+    The returned callable takes the base (B-form) operands; a
+    custom_vmap rule folds any further vmap level into the grid
+    (leading axes multiply into B), so nested job/replica vmaps all
+    land in one kernel launch.
+    """
+    NT, K, J = spec.nt, spec.k, spec.jobs
+    assert J == 1, "streamed kernels do not multi-job pack"
+    kern = _make_kernel(
+        FusedSpec(**{**spec.__dict__, "batch_grid": True}),
+        deform, sample, thermostat)
+    n_stream = 7 if spec.coul else 6
+    KC = spec.k_chunk
+
+    # which operand slots carry a per-job leading axis (the rest are
+    # system constants or unread placeholders, shared across the grid)
+    batched_slots = ((True,) * 3          # iscal, fscal, state
+                     + (True,) * 6        # streamed neighbor channels
+                     + (bool(spec.coul),)  # qq
+                     + (False, False, False)  # topo, pat, shk
+                     + (bool(spec.fext),))   # fxt
+
+    def base(iscal, fscal, state, idx, w4e, sig2, imx, imy, imz,
+             qq, topo, pat, shk, fxt):
+        B = state.shape[0]
+        dtype = state.dtype
+
+        def smem(w):
+            return pl.BlockSpec((J, w), lambda b: (b, 0),
+                                memory_space=pltpu.SMEM)
+
+        any_full = pl.BlockSpec(memory_space=pl.ANY)
+        ph_spec = pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0),
+                               memory_space=pl.ANY)
+
+        def shared(arr):
+            if arr.shape == (1, 1, 1):
+                return ph_spec
+            nd = arr.ndim
+            return pl.BlockSpec((1,) + arr.shape[1:],
+                                lambda b, nd=nd: (0,) * nd)
+
+        def perjob(arr):
+            if arr.shape == (1, 1, 1):
+                return ph_spec
+            nd = arr.ndim
+            return pl.BlockSpec((1,) + arr.shape[1:],
+                                lambda b, nd=nd: (b,) + (0,) * (nd - 1))
+
+        in_specs = [
+            smem(_ISCAL), smem(_FSCAL),
+            pl.BlockSpec((1, 8, J * NT, LANE), lambda b: (b, 0, 0, 0)),
+            any_full, any_full, any_full, any_full, any_full, any_full,
+            (any_full if spec.coul else ph_spec),
+            shared(topo), shared(pat), shared(shk), perjob(fxt),
+        ]
+        scratch_shapes = (
+            [pltpu.VMEM((2, KC, NT, LANE), jnp.int32)]
+            + [pltpu.VMEM((2, KC, NT, LANE), dtype)] * (n_stream - 1)
+            + [pltpu.SemaphoreType.DMA((2, n_stream))]
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(B,),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=116 * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            scratch_shapes=scratch_shapes,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, 8, J * NT, LANE), dtype),
+                jax.ShapeDtypeStruct((B * J, _SACC), dtype),
+            ),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, 8, J * NT, LANE), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((J, _SACC), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            interpret=spec.interpret,
+        )(iscal, fscal, state, idx, w4e, sig2, imx, imy, imz,
+          qq, topo, pat, shk, fxt)
+
+    call = jax.custom_batching.custom_vmap(base)
+
+    @call.def_vmap
     def _rule(axis_size, in_batched, *args):
-        in_b = jax.tree_util.tree_leaves(in_batched)
-        outs = []
-        for b in range(axis_size):
-            args_b = [
-                jax.lax.index_in_dim(a, b, 0, keepdims=False) if ib else a
-                for a, ib in zip(args, in_b)
-            ]
-            # barrier: without it XLA fuses the per-element slices INTO
-            # the pallas custom call (kCustom fusion), and a fused
-            # pallas call is charged against the 16 MB default scoped-
-            # vmem budget instead of its own vmem_limit_bytes (round-5
-            # ladder: 16.78 M > 16 M at NT=14 even fully unrolled).
-            # The barrier costs one HBM copy of each sliced operand.
-            args_b = list(jax.lax.optimization_barrier(tuple(args_b)))
-            outs.append(wrapped(*args_b))
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *outs)
-        out_batched = jax.tree_util.tree_map(lambda _: True, outs[0])
-        return stacked, out_batched
+        inb = jax.tree_util.tree_leaves(in_batched)
+        folded = []
+        for a, ib, want in zip(args, inb, batched_slots):
+            if not want:
+                # shared operands (topo rows, placeholders) are
+                # vmap-constant by construction
+                assert not ib, "unexpected batching of a shared operand"
+                folded.append(a)
+                continue
+            if not ib:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            folded.append(a.reshape((a.shape[0] * a.shape[1],)
+                                    + a.shape[2:]))
+        st, sacc = call(*folded)
+        stb = st.reshape((axis_size, st.shape[0] // axis_size)
+                         + st.shape[1:])
+        sab = sacc.reshape((axis_size, sacc.shape[0] // axis_size)
+                           + sacc.shape[1:])
+        return (stb, sab), (True, True)
 
-    return wrapped
+    return call
 
 
 @partial(jax.jit, static_argnames=("spec", "deform", "sample", "thermostat"))
@@ -1764,26 +1874,27 @@ def fused_chunk(spec: FusedSpec, state, channels, iscal, fscal,
         ),
         interpret=spec.interpret,
     )
-    if spec.k_chunk and not spec.sw:
-        # HBM-streamed channels are memory_space=ANY operands: Pallas's
-        # vmap batching rule blocks every operand over a new grid axis,
-        # which ANY-space operands reject (round-5 hardware ladder:
-        # c1792L/c2240L/c4480S all failed at trace time under the 8-job
-        # vmap while the unbatched sparity rung passed).  Lower vmap to
-        # an UNROLLED per-job loop — not lax.map: inside a while-loop
-        # body XLA fuses the pallas call with its operand slices and
-        # charges the kernel's VMEM to the fusion's 16 MB default
-        # scoped budget regardless of vmem_limit_bytes (measured on
-        # silicon: NT=35 windows+scratch = 19.1 M > 16 M under lax.map,
-        # while the identical unbatched call compiles against its own
-        # 116 MB limit).  Unrolled calls stand alone; the Mosaic kernel
-        # compiles once and is shared.  Semantically identical, and on
-        # v5e (one TensorCore per chip) batched jobs serialize anyway.
-        # Interpret mode (CPU tests) keeps Pallas's native batching —
-        # the fusion accounting is a Mosaic-hardware-path behavior, and
-        # unrolling would double the already-heavy interpret trace.
-        if not spec.interpret:
-            call = _unrolled_vmap(call)
+    if spec.k_chunk and not spec.sw and (
+            not spec.interpret
+            or os.environ.get("SCEMA_TEST_GRID_CALL") == "1"):
+        # HBM-streamed channels on hardware: launch through the job-grid
+        # form (_build_streamed_grid_call — Pallas-native batching;
+        # every XLA-side batching of this call was measured to hit the
+        # 16 MB fusion scoped-vmem ceiling).  The B=1 call made here is
+        # shape-identical to the round-5 hardware-validated unbatched
+        # kernel; further vmap levels fold into the grid.  Interpret
+        # mode (CPU tests) keeps the gridless call + Pallas's native
+        # batching below, which both work there — SCEMA_TEST_GRID_CALL=1
+        # forces the grid form under interpret so its semantics stay
+        # CPU-testable.
+        gcall = _build_streamed_grid_call(spec, deform, sample, thermostat)
+        st, sacc = gcall(
+            iscal, fscal, state[None],
+            *[op[:, None] for op in operands],  # (1, K, NT, L) -> B-form
+            (qq[:, None] if spec.coul else qq),
+            topo, pat, shk, fxt,
+        )
+        return st[0], (sacc[0] if J == 1 else sacc)
     out = call(
         iscal, fscal, state[None],
         *operands,

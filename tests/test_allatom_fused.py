@@ -328,3 +328,33 @@ def test_streamed_list_kernel_vmaps_over_jobs():
     out_b = jax.jit(jax.vmap(run1))(batch, eps)
     out_1 = jax.jit(run1)(st, eps[1])
     assert np.array_equal(np.asarray(out_b.pos[1]), np.asarray(out_1.pos))
+
+
+def test_streamed_grid_call_matches_legacy(monkeypatch):
+    """The job-grid launch form (md_fused._build_streamed_grid_call:
+    grid=(B,), ANY channels with a leading B sliced by program_id) is
+    bit-identical to the gridless interpret call at B=1, under vmap,
+    and under nested vmap (levels fold into the grid).  This is the
+    HARDWARE launch form — every XLA-side batching of the streamed call
+    (native, lax.map, unrolled) died on the 16 MB fusion scoped-vmem
+    ceiling on silicon (round-5 ladder)."""
+    c = dict(COMMON, use_ewald=True)
+    spec = M.MaterialSpec(**c, use_fused=True, force_list_kernel=True,
+                          force_k_chunk=8)
+    sys_s, st = M.build_system(spec)
+    st = E.minimize_fire(sys_s, st, n_steps=20, dt0=0.25)
+    run1 = lambda s, e: E.run_strain(sys_s, s, e, jnp.asarray(8), 50.0, 0.5)
+    eps = jnp.zeros((2, 6)).at[:, 2].set(jnp.asarray([1e-4, 3e-4]))
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape), st)
+
+    monkeypatch.setenv("SCEMA_TEST_GRID_CALL", "1")
+    jax.clear_caches()
+    out_b = jax.jit(jax.vmap(run1))(batch, eps)
+    out_1 = jax.jit(run1)(st, eps[1])
+    monkeypatch.setenv("SCEMA_TEST_GRID_CALL", "0")
+    jax.clear_caches()
+    ref_1 = jax.jit(run1)(st, eps[1])
+    assert np.array_equal(np.asarray(out_b.pos[1]), np.asarray(out_1.pos))
+    assert np.array_equal(np.asarray(out_1.pos), np.asarray(ref_1.pos))
+    jax.clear_caches()

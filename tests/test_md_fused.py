@@ -614,24 +614,3 @@ def test_pair_bf16_close_to_f32_and_newton_exact():
     # sums cancel exactly, so the difference of drifts is ~round-off
     assert np.abs((pb - p0) - (pf - p0)).max() < 1e-3 * (
         np.abs(pf - p0).max() + 1.0)
-
-
-def test_unrolled_vmap_rule_matches_vmap():
-    """md_fused._unrolled_vmap: the custom batching rule the streamed
-    list kernel uses on hardware (standalone pallas calls instead of a
-    lax.map whose fusion trips XLA's 16 MB scoped-vmem accounting).
-    Nested vmaps unroll level by level and match native vmap exactly."""
-    calls = []
-
-    def f(a, b):
-        calls.append(1)
-        return a * 2.0 + b, jnp.sum(a)
-
-    g = MF._unrolled_vmap(f)
-    a = jnp.arange(24.0).reshape(2, 3, 4)
-    b = jnp.asarray(1.5)
-    out = jax.vmap(jax.vmap(g, in_axes=(0, None)), in_axes=(0, None))(a, b)
-    ref = jax.vmap(jax.vmap(f, in_axes=(0, None)), in_axes=(0, None))(a, b)
-    assert np.array_equal(np.asarray(out[0]), np.asarray(ref[0]))
-    assert np.array_equal(np.asarray(out[1]), np.asarray(ref[1]))
-    assert len(calls) >= 6  # 2 x 3 unrolled inner calls (traced)
