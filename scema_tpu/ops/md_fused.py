@@ -883,14 +883,18 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
         # the state/scratch stack J tile groups, sacc returns J rows.
         J = spec.jobs
         NPAD = NT * LANE
-        n_run = [iscal_ref[j, _I_NRUN] for j in range(J)]
-        gstep0 = [iscal_ref[j, _I_GSTEP0] for j in range(J)]
-        n_tot = [iscal_ref[j, _I_NTOT] for j in range(J)]
-        dt = [fscal_ref[j, _F_DT] for j in range(J)]
-        T = fscal_ref[0, _F_T]
-        h0 = [tuple(fscal_ref[j, _F_H0 + i] for i in range(6))
+        # scalar row index: SMEM windows are FULL (B*J, _) under the job
+        # grid (TPU SMEM blocks can't tile rows), so job jb0 reads its
+        # own row by dynamic index
+        srow = (lambda j: j) if jb0 is None else (lambda j: jb0 * J + j)
+        n_run = [iscal_ref[srow(j), _I_NRUN] for j in range(J)]
+        gstep0 = [iscal_ref[srow(j), _I_GSTEP0] for j in range(J)]
+        n_tot = [iscal_ref[srow(j), _I_NTOT] for j in range(J)]
+        dt = [fscal_ref[srow(j), _F_DT] for j in range(J)]
+        T = fscal_ref[srow(0), _F_T]
+        h0 = [tuple(fscal_ref[srow(j), _F_H0 + i] for i in range(6))
               for j in range(J)]
-        eps = [tuple(fscal_ref[j, _F_EPS + i] for i in range(6))
+        eps = [tuple(fscal_ref[srow(j), _F_EPS + i] for i in range(6))
                for j in range(J)]
         jsl = [slice(j * NT, (j + 1) * NT) for j in range(J)]
         invm = [state_ref[0, 6, jsl[j]] for j in range(J)]  # ftm2v/m
@@ -1441,8 +1445,8 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             sl_ = jsl[j]
             return [state_ref[0, c, sl_] for c in range(6)]
 
-        vxi_init = [tuple(fscal_ref[j, _F_VXI + i] for i in range(NHC_LEN))
-                    for j in range(J)]
+        vxi_init = [tuple(fscal_ref[srow(j), _F_VXI + i]
+                          for i in range(NHC_LEN)) for j in range(J)]
         use_img_cache = spec.allpairs and not spec.sw
         st0 = [job_state(j) for j in range(J)]
         if use_img_cache:
@@ -1584,13 +1588,13 @@ def _make_kernel(spec: FusedSpec, deform: bool, sample: bool, thermostat: bool):
             state_out[0, 6, jsl[j]] = invm[j]
             state_out[0, 7, jsl[j]] = mftm[j]
             for i in range(NHC_LEN):
-                sacc_ref[j, _S_VXI + i] = vxi[i]
+                sacc_ref[srow(j), _S_VXI + i] = vxi[i]
             for i in range(6):
-                sacc_ref[j, _S_PRESS + i] = pacc[i]
+                sacc_ref[srow(j), _S_PRESS + i] = pacc[i]
             ke2 = jnp.sum(mftm[j] * (vx * vx + vy * vy + vz * vz))
-            sacc_ref[j, _S_KE2] = ke2
+            sacc_ref[srow(j), _S_KE2] = ke2
             for i in range(_S_KE2 + 1, _SACC):
-                sacc_ref[j, i] = jnp.zeros((), dtype)
+                sacc_ref[srow(j), i] = jnp.zeros((), dtype)
 
     return kernel
 
@@ -1636,10 +1640,10 @@ def _build_streamed_grid_call(spec, deform, sample, thermostat):
         B = state.shape[0]
         dtype = state.dtype
 
-        def smem(w):
-            return pl.BlockSpec((J, w), lambda b: (b, 0),
-                                memory_space=pltpu.SMEM)
-
+        # SMEM rows can't tile on TPU (last-two-dims rule): scalar
+        # windows stay FULL (B*J, _) and the kernel indexes row
+        # jb0*J + j (srow)
+        smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
         any_full = pl.BlockSpec(memory_space=pl.ANY)
         ph_spec = pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0),
                                memory_space=pl.ANY)
@@ -1659,7 +1663,7 @@ def _build_streamed_grid_call(spec, deform, sample, thermostat):
                                 lambda b, nd=nd: (b,) + (0,) * (nd - 1))
 
         in_specs = [
-            smem(_ISCAL), smem(_FSCAL),
+            smem_full, smem_full,
             pl.BlockSpec((1, 8, J * NT, LANE), lambda b: (b, 0, 0, 0)),
             any_full, any_full, any_full, any_full, any_full, any_full,
             (any_full if spec.coul else ph_spec),
@@ -1684,8 +1688,7 @@ def _build_streamed_grid_call(spec, deform, sample, thermostat):
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, 8, J * NT, LANE), lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((J, _SACC), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),
+                smem_full,
             ),
             interpret=spec.interpret,
         )(iscal, fscal, state, idx, w4e, sig2, imx, imy, imz,
