@@ -34,6 +34,7 @@ def test_allatom_fused_runner_built():
     assert r.spec.ndof == sys_f.ndof
 
 
+@pytest.mark.slow
 def test_kspace_split_identity():
     """The fused kspace split: the kernel computes the exact weighted
     real-space erfc sum (FusedSpec.ewald_alpha) and kspace_fn carries
@@ -80,6 +81,7 @@ def test_kspace_split_identity():
     assert float(jnp.abs(F_real + F_k - F_coul).max()) < 1e-7 * scale
 
 
+@pytest.mark.slow
 def test_allatom_shake_patterns_fused_matches_xla():
     """coul/cut all-atom PE: fused (roll-SHAKE + offset-pattern bonded +
     dense coulomb) == XLA (segment-sum SHAKE + gather bonded + list
@@ -113,6 +115,7 @@ def test_allatom_shake_patterns_fused_matches_xla():
     assert float(np.abs(r - np.asarray(cons.d0)).max()) < 5e-3
 
 
+@pytest.mark.slow
 def test_allatom_kspace_fused_close_to_xla():
     """Full reference physics (kspace on): the fused rRESPA-split path
     tracks the XLA exact-Ewald path.  kspace_every=1 still lags the
@@ -155,6 +158,7 @@ def test_erfc_poly_accuracy():
     assert float(np.abs(poly - erfc_ref(xref)).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_allatom_kspace_every10_accuracy():
     """The PRODUCTION freeze interval (kspace_every=10): freezing the
     [recip + excluded-pair erf] remainder for 10 steps must track the
@@ -306,6 +310,7 @@ def test_allatom_streamed_list_kernel_matches_resident():
                        atol=scale * 1e-4 + 1e3)
 
 
+@pytest.mark.slow
 def test_streamed_list_kernel_vmaps_over_jobs():
     """vmap over a job batch must reach the streamed kernel: its ANY-
     memory-space channel operands reject Pallas's blocked batching rule
@@ -330,6 +335,7 @@ def test_streamed_list_kernel_vmaps_over_jobs():
     assert np.array_equal(np.asarray(out_b.pos[1]), np.asarray(out_1.pos))
 
 
+@pytest.mark.slow
 def test_streamed_grid_call_matches_legacy(monkeypatch):
     """The job-grid launch form (md_fused._build_streamed_grid_call:
     grid=(B,), ANY channels with a leading B sliced by program_id) is

@@ -9,6 +9,11 @@ from scema_tpu.md import grid as G
 from scema_tpu.md import lattice
 from scema_tpu.md import neighbor as NB
 from scema_tpu.md.forcefields import sw as SWmod
+import pytest
+
+# single-CPU wall budget: this module is compile/run-heavy (87 s);
+# the fast tier keeps subsystem coverage through its cheaper siblings
+pytestmark = pytest.mark.slow
 
 
 def _si_system(n_cells, jiggle=0.05, seed=0):

@@ -70,6 +70,7 @@ def test_strain_chunk_matches_engine():
                        atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sample_chunk_matches_engine():
     sys, st = build_lj()
     n_steps = 8
@@ -150,6 +151,7 @@ def test_acos_poly_accuracy():
     assert err.max() < 2e-7
 
 
+@pytest.mark.slow
 def test_opls_melt_chunk_matches_engine():
     """Full OPLS melt (LJ + exclusions + bonded) fused chunk vs engine."""
     from scema_tpu.md import data_io
@@ -201,6 +203,7 @@ def test_opls_melt_chunk_matches_engine():
                        rtol=1e-7, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_runner_full_md_job_matches_xla():
     """strain_and_homogenize through MDSystem.fused == the XLA path."""
     from scema_tpu.md import material as M
@@ -229,6 +232,7 @@ def test_fused_runner_full_md_job_matches_xla():
                        atol=1e2)  # Pa scale; stresses are ~1e7
 
 
+@pytest.mark.slow
 def test_fused_runner_vmapped_jobs():
     """The HMM dispatch pattern: vmap over jobs with per-job step counts."""
     from scema_tpu.md import material as M
@@ -258,6 +262,7 @@ def test_fused_runner_vmapped_jobs():
                        rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_dynamic_step_count():
     """n_run < allocated loop budget integrates exactly n_run steps."""
     sys, st = build_lj()
@@ -282,6 +287,7 @@ def test_dynamic_step_count():
     assert np.allclose(np.asarray(pos3), np.asarray(ref3.pos), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_packed_rebuild_matches_generic_channels():
     """The payload-packed single-top_k rebuild produces the same channel
     content (as per-row slot sets) as the generic gather path."""
@@ -339,6 +345,7 @@ def test_packed_rebuild_matches_generic_channels():
             )
 
 
+@pytest.mark.slow
 def test_allpairs_multitile_matches_xla():
     """All-pairs tile-pair kernel across >1 lane tile (transposes + tile
     pair loop + min-image rounding) == the XLA engine path."""
@@ -368,6 +375,7 @@ def test_allpairs_multitile_matches_xla():
                        atol=1e2)
 
 
+@pytest.mark.slow
 def test_sw_allpairs_fused_matches_xla():
     """SW all-pairs fused integrator (moments + adjoint forces in-kernel)
     == the XLA engine path: trajectory and virial stress."""
@@ -397,6 +405,7 @@ def test_sw_allpairs_fused_matches_xla():
                        atol=1e3)
 
 
+@pytest.mark.slow
 def test_dense_plane_fallback_matches_packed(monkeypatch):
     """SCEMA_DENSE_PLANES=1 (the round-3 dense f32 plane layout — the
     Mosaic escape hatch bench.py retries failed fused phases with) is
@@ -429,6 +438,7 @@ def test_dense_plane_fallback_matches_packed(monkeypatch):
     assert np.array_equal(np.asarray(sig_d), np.asarray(sig_p))
 
 
+@pytest.mark.slow
 def test_inactive_job_is_exact_noop():
     """Padding-slot jobs (active=False) leave the microstate bit-unchanged
     and cost one dt=0 step (a zero-trip dynamic fori_loop would hang
@@ -460,6 +470,7 @@ def test_inactive_job_is_exact_noop():
     assert np.allclose(np.asarray(o_a.pos), np.asarray(o_n.pos))
 
 
+@pytest.mark.slow
 def test_fused_coulomb_uses_special_coul_weights():
     """Coulomb 1-4 scaling differs from LJ's: the fused path must weight
     qq pairs with special_coul, not special_lj (opls.py:102-106)."""
@@ -515,6 +526,7 @@ def test_fused_coulomb_uses_special_coul_weights():
                        atol=1e2)
 
 
+@pytest.mark.slow
 def test_multi_job_packing_matches_single():
     """J=2 job packing (FusedSpec.jobs): one program integrating two
     jobs with different strains and step counts equals two single-job
@@ -562,6 +574,7 @@ def test_multi_job_packing_matches_single():
     assert np.array_equal(np.asarray(out3.vel[1]), np.asarray(st.vel))
 
 
+@pytest.mark.slow
 def test_pair_bf16_close_to_f32_and_newton_exact():
     """FusedSpec.pair_bf16 (bf16 pair-force tiles, f32 accumulators — the
     round-5 transpose-bandwidth lever): per-pair rounding is ~1 bf16 ulp

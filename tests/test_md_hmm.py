@@ -10,6 +10,10 @@ from scema_tpu.md import material as M
 from scema_tpu.md.homogenization import MDParams
 from scema_tpu.hmm.md_coupling import build_md_hmm
 
+# single-CPU wall budget: this module is compile/run-heavy (139 s);
+# the fast tier keeps subsystem coverage through its cheaper siblings
+pytestmark = pytest.mark.slow
+
 
 SPEC = M.MaterialSpec(name="sic", force_field="sw", n_cells=2)
 PARAMS = MDParams(temperature=0.01, dt=0.002, strain_rate=1.0e-3, nsteps_sample=50)

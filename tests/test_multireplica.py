@@ -6,6 +6,11 @@ import jax.numpy as jnp
 from scema_tpu.config import HMMConfig
 from scema_tpu.md.material import MaterialSpec
 from scema_tpu.hmm.md_coupling import build_md_hmm
+import pytest
+
+# single-CPU wall budget: this module is compile/run-heavy (95 s);
+# the fast tier keeps subsystem coverage through its cheaper siblings
+pytestmark = pytest.mark.slow
 
 
 def test_two_replicas_run_and_average():

@@ -9,6 +9,7 @@ from scema_tpu.md import material as M
 from scema_tpu.md import neighbor as NB
 from scema_tpu.md.forcefields import lj as LJmod
 from scema_tpu.md.homogenization import MDParams
+import pytest
 
 
 def _argon(n_cells=3, a0=5.26, T=20.0, seed=0):
@@ -55,6 +56,7 @@ def test_mtk_relaxes_compressed_crystal():
     assert np.isfinite(np.asarray(st.pos)).all()
 
 
+@pytest.mark.slow
 def test_mtk_npt_ensemble_fluctuations_and_density_parity():
     """MTK samples the NPT ensemble where Berendsen only relaxes:
 

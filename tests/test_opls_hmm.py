@@ -10,6 +10,10 @@ from scema_tpu.md import engine as E
 from scema_tpu.md.homogenization import MDParams
 from scema_tpu.hmm.md_coupling import build_md_hmm
 
+# single-CPU wall budget: this module is compile/run-heavy (>150 s);
+# the fast tier keeps subsystem coverage through its cheaper siblings
+pytestmark = pytest.mark.slow
+
 # 27 chains x 4 beads => L ~ 15.3 A; cutoff 6 + skin 1 respects the
 # minimum-image bound (r_list <= L/2) that build_system now asserts
 SPEC = M.MaterialSpec(name="g0", force_field="opls", n_chains=27, chain_length=4,

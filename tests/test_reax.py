@@ -101,6 +101,8 @@ class TestFfieldParser:
 
 
 class TestForces:
+
+    pytestmark = pytest.mark.slow  # f64 autodiff through the full reax graph
     def test_fd_forces_ch4(self):
         pos, masses = _ch4()
         ff = _ff(masses)
@@ -136,6 +138,8 @@ class TestForces:
 
 
 class TestChemistry:
+
+    pytestmark = pytest.mark.slow  # scipy relax / NVT runs, single-CPU heavy
     def test_ch4_geometry_and_charges(self):
         pos, masses = _ch4()
         ff = _ff(masses)
@@ -194,6 +198,7 @@ class TestChemistry:
             assert jumps[i] < 3.0 * local + 0.05, (rs[i], jumps[i], local)
         assert es.min() < -100.0  # bound molecule
 
+    @pytest.mark.slow
     def test_energy_terms_finite_on_melt(self):
         spec = M.MaterialSpec(
             name="reaxpe", force_field="reax", n_chains=12,
@@ -207,6 +212,9 @@ class TestChemistry:
 
 
 class TestEngine:
+
+    pytestmark = pytest.mark.slow  # scipy relax / NVT runs, single-CPU heavy
+    @pytest.mark.slow
     def test_nvt_stability_and_virial(self):
         spec = M.MaterialSpec(
             name="reaxpe", force_field="reax", n_chains=8,
@@ -357,6 +365,8 @@ class TestExternalAnchors:
     each tolerance so drift is visible in review.
     """
 
+    pytestmark = pytest.mark.slow  # scipy relax / NVT runs, single-CPU heavy
+
     def _relaxed(self, masses, pos, **kw):
         ff = _ff(masses, **kw)
         p, e = _relax(ff, np.asarray(pos, float))
@@ -481,6 +491,7 @@ class TestListField:
         gl = jax.grad(lambda p: ffl.energy(p, BOX))(jnp.asarray(pos))
         assert np.allclose(np.asarray(gl), np.asarray(gd), atol=1e-9)
 
+    @pytest.mark.slow
     def test_water_hbond_matches_dense(self):
         w = np.array([[0, 0, 0], [0.97, 0, 0], [-0.25, 0.94, 0]], float)
         pos = np.vstack([w, w + np.array([2.9, 0.2, 0.1])])
@@ -495,6 +506,7 @@ class TestListField:
         assert float(tl["total"]) == pytest.approx(float(td["total"]),
                                                    rel=1e-9)
 
+    @pytest.mark.slow
     def test_melt_engine_list_matches_dense(self):
         """Through the production path: build_system gives ReaxFFList +
         an engine neighbor list; forces/energy must match the dense twin
@@ -519,6 +531,7 @@ class TestListField:
         scale = float(jnp.abs(f_d).max())
         assert float(jnp.abs(f_l - f_d).max()) < 1e-8 * scale
 
+    @pytest.mark.slow
     def test_big_box_beyond_dense_cap(self):
         """The list field has no 2048-atom ceiling: a 4224-atom reactive
         melt builds, evaluates finite energy/forces, and the binned

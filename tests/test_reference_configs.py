@@ -6,6 +6,10 @@ import pytest
 from scema_tpu.config import load_config
 from scema_tpu.hmm.problem import build_hooke_hmm
 
+# single-CPU wall budget: this module is compile/run-heavy (139 s);
+# the fast tier keeps subsystem coverage through its cheaper siblings
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference/input_configurations"
 
 

@@ -59,6 +59,7 @@ def test_spring_layout_shapes_and_bounds():
     assert np.isfinite(d01) and np.isfinite(dfar)
 
 
+@pytest.mark.slow
 def test_cli_dump_similarity_roundtrip(tmp_path):
     """run --dump-similarity writes an npz render_network can read."""
     import subprocess

@@ -19,6 +19,7 @@ def test_pad_to_multiple():
     assert p.shape[0] == 16 and n == 10
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     cfg = HMMConfig()
     cfg = cfg.replace(
@@ -43,6 +44,7 @@ def test_sharded_step_matches_single_device():
     assert int(o0.n_jobs) == int(o1.n_jobs)
 
 
+@pytest.mark.slow
 def test_graft_entry_and_dryrun():
     import sys
 
@@ -68,6 +70,7 @@ def test_sharded_pairwise_l2_matches_local():
     assert np.allclose(d_shard, d_local, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_md_coupled_step_matches_single_device():
     """The real-MD coupled step with the job batch shard_mapped over 8
     devices produces the same stress field as the unsharded step (the
@@ -139,6 +142,7 @@ def test_multislice_mesh_hooke_step_matches_single_device():
     assert int(o0.n_jobs) == int(o1.n_jobs)
 
 
+@pytest.mark.slow
 def test_multislice_mesh_md_coupled_step():
     """The real-MD coupled step also shards over the two-axis mesh (the
     job chunk divides by mesh.size, collectives tier over dcn x md)."""

@@ -11,9 +11,15 @@ from scema_tpu.md import lattice
 from scema_tpu.md import neighbor as NB
 from scema_tpu.md.forcefields import sw as SWmod
 from scema_tpu.parallel.mesh_utils import make_mesh
+import pytest
+
 from scema_tpu.parallel.spatial_md import (
     derive_sharded_grid, sw_energy_sharded, sw_forces_sharded,
 )
+
+# single-CPU wall budget: this module is compile/run-heavy (>150 s);
+# the fast tier keeps subsystem coverage through its cheaper siblings
+pytestmark = pytest.mark.slow
 
 
 def _box(n_cells, jiggle=0.05):

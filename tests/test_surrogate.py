@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from scema_tpu.config import HMMConfig
 from scema_tpu.hmm.problem import build_hooke_hmm
@@ -102,6 +103,7 @@ def test_keras_import_matches_reference_forward():
     assert np.abs(got - want).max() / denom < 1e-6
 
 
+@pytest.mark.slow
 def test_keras_surrogate_in_method2_hmm():
     """Reference surrogate runs end-to-end as the method-2 constitutive
     update (FE_problem.h:1489-1629)."""
@@ -128,6 +130,7 @@ def test_keras_surrogate_in_method2_hmm():
     assert np.isfinite(np.asarray(state.qp.new_stress)).all()
 
 
+@pytest.mark.slow
 def test_method2_hmm_runs_with_surrogate():
     """stress_method=2: the surrogate drives the constitutive update
     (FE_problem.h:1707-1711)."""

@@ -5,6 +5,11 @@ import jax.numpy as jnp
 from scema_tpu.md import lattice, neighbor as NB
 from scema_tpu.md.forcefields import sw as SWmod
 from scema_tpu.ops.sw_pallas import sw_energy_pallas
+import pytest
+
+# single-CPU wall budget: this module is compile/run-heavy (81 s);
+# the fast tier keeps subsystem coverage through its cheaper siblings
+pytestmark = pytest.mark.slow
 
 
 def test_sw_pallas_energy_matches_reference_path():
