@@ -186,7 +186,11 @@ class PackedNeighbors(NamedTuple):
     idx: jax.Array  # (N, K) int32 (self-padded when invalid)
     mask: jax.Array  # (N, K) bool
     cls: jax.Array  # (N, K) int32 pair-class in [0, 16)
-    img: jax.Array  # (N, K, 3) float — periodic image integers
+    # periodic image integers as three (N, K) planes — NOT one (N, K, 3)
+    # tensor: XLA TPU tiles a trailing dim of 3 to 128 (T(8,128)), which
+    # inflated the batched rebuild 42x (20.5 GB HBM at 8 x 4480 x 1120,
+    # round-5 ladder); the planes tile losslessly
+    img: tuple  # (imx, imy, imz), each (N, K) float
 
 
 def build_dense_packed(
@@ -236,10 +240,10 @@ def build_dense_packed(
     imz = (vals & _PK_IMG_MASK) - 1
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     idx = jnp.where(mask, idx, self_idx).astype(jnp.int32)
-    imgk = jnp.stack([imx, imy, imz], axis=-1).astype(pos.dtype)
-    imgk = jnp.where(mask[..., None], imgk, 0.0)
+    planes = tuple(jnp.where(mask, c.astype(pos.dtype), 0.0)
+                   for c in (imx, imy, imz))
     return PackedNeighbors(idx=idx, mask=mask, cls=jnp.where(mask, cls, 0),
-                           img=imgk)
+                           img=planes)
 
 
 _CELL_OFFSETS = np.array(

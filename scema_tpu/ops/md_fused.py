@@ -1990,10 +1990,19 @@ def pack_channels(pos, h, nbr: NB.NeighborList, eps_pair, sig_pair,
 
     # periodic images: n_ij = -round(inv_h (pos_j - pos_i)) so that
     # d = pos_j + h n_ij - pos_i is the minimum image (exact under any
-    # later affine deform — fractional coordinates are held fixed)
-    disp = pos[nbr.idx] - pos[:, None, :]
-    s = jnp.einsum("ab,nkb->nka", B.inv_h(h), disp)
-    img = -jnp.round(s)
+    # later affine deform — fractional coordinates are held fixed).
+    # Component-wise on (N, K) planes, NOT an (N, K, 3) tensor: XLA TPU
+    # tiles a trailing dim of 3 to 128 (T(8,128)), so the (jobs, N, K, 3)
+    # form allocated 20.5 GB at the 4480-atom 8-job rebuild (round-5
+    # ladder: "f32[40140800,3] would exceed memory") where these
+    # (N, K) planes tile losslessly.
+    ih = B.inv_h(h)
+    dxyz = [pos[nbr.idx, a] - pos[:, None, a] for a in range(3)]
+    img = [
+        -jnp.round(ih[a, 0] * dxyz[0] + ih[a, 1] * dxyz[1]
+                   + ih[a, 2] * dxyz[2])
+        for a in range(3)
+    ]
 
     w = nbr.mask.astype(dtype)
     if weights is not None:
@@ -2017,9 +2026,9 @@ def pack_channels(pos, h, nbr: NB.NeighborList, eps_pair, sig_pair,
         "idx": idx_fill,
         "w4e": ch(w4e),
         "sig2": ch(sig_pair.astype(dtype) ** 2),
-        "imx": ch(img[..., 0]),
-        "imy": ch(img[..., 1]),
-        "imz": ch(img[..., 2]),
+        "imx": ch(img[0]),
+        "imy": ch(img[1]),
+        "imz": ch(img[2]),
     }
     if qq_pair is not None:
         wq = nbr.mask.astype(dtype)
@@ -2035,7 +2044,7 @@ def pack_channels_from_parts(idx, mask, img, w4e, sig2, qq=None,
                              k_pad=None, dtype=None):
     """Channel packing from already-decoded per-slot arrays (the packed
     fast path — no neighbor-coordinate gathers; images come decoded from
-    the top_k payload)."""
+    the top_k payload as three (N, K) planes)."""
     dtype = dtype or w4e.dtype
     n, k = idx.shape
     if k_pad is not None and k_pad > k:
@@ -2047,8 +2056,8 @@ def pack_channels_from_parts(idx, mask, img, w4e, sig2, qq=None,
                 jnp.arange(n, dtype=jnp.int32)[:, None], (n, extra))], axis=1)
         mask = jnp.concatenate([mask, jnp.zeros((n, extra), bool)], axis=1)
         w4e, sig2 = pad2(w4e), pad2(sig2)
-        img = jnp.concatenate(
-            [img, jnp.zeros((n, extra, 3), img.dtype)], axis=1)
+        img = tuple(jnp.concatenate(
+            [c, jnp.zeros((n, extra), c.dtype)], axis=1) for c in img)
         if qq is not None:
             qq = pad2(qq)
         k = k_pad
@@ -2065,9 +2074,9 @@ def pack_channels_from_parts(idx, mask, img, w4e, sig2, qq=None,
         "idx": ch(idx, fill=0),
         "w4e": ch(w4e),
         "sig2": ch(sig2),
-        "imx": ch(img[..., 0]),
-        "imy": ch(img[..., 1]),
-        "imz": ch(img[..., 2]),
+        "imx": ch(img[0]),
+        "imy": ch(img[1]),
+        "imz": ch(img[2]),
     }
     if qq is not None:
         out["qq"] = ch(qq)
