@@ -646,25 +646,11 @@ def main():
             continue
         phase_budget = min(budget, remaining)
         d, err = _run_phase_subprocess(name, phase_budget)
-        if d is None and name in FUSED_PHASES and err[0] != "timeout":
-            # the triangle-packed plane layout is new this round; before
-            # giving the phase up, retry once on the round-3 hardware-
-            # proven dense layout (material.py SCEMA_DENSE_PLANES hatch).
-            # Timeouts are excluded: they are compile-time/budget
-            # failures, not layout failures, and a retry just doubles
-            # the loss (measured: md_fused+md_bigbox burned 4 x 420 s
-            # this way and starved four later phases).
-            remaining = deadline - time.time()
-            if remaining >= 60.0:
-                print(f"[bench] {name}: retrying on dense planes ({err[1]})",
-                      file=sys.stderr)
-                d, err2 = _run_phase_subprocess(
-                    name, min(budget, remaining),
-                    env={**os.environ, "SCEMA_DENSE_PLANES": "1"})
-                if d is not None:
-                    d = dict(d, **{name + "_dense_planes_fallback": 1})
-                else:
-                    err = (err[0], f"{err[1]}; dense-plane retry: {err2[1]}")
+        # (the round-4 dense-plane layout retry is gone: the round-5
+        # hardware A/B made dense f32 planes the production default —
+        # SCEMA_DENSE_PLANES is a no-op now and tri-packing is opt-in
+        # via SCEMA_TRI_PLANES=1, so there is no new layout to fall
+        # back from.)
         if d:
             result.update(d)
         else:

@@ -366,10 +366,16 @@ def _build_fused_runner(spec: MaterialSpec, ff, masses, nspec, dtype,
     # admits ~1792 charged / ~1920 neutral atoms.  Boxes beyond the gate
     # run the gather-list kernel with the SAME in-kernel mechanisms.
     dense_lj1 = dense_lj2 = dense_qq = None
-    # SCEMA_DENSE_PLANES=1 reverts to the round-3 hardware-proven dense
-    # f32 layout (escape hatch for packed-layout Mosaic regressions;
-    # bench.py retries failed fused phases with it)
-    tri_packed = os.environ.get("SCEMA_DENSE_PLANES", "") != "1"
+    # Plane layout default: DENSE f32.  The round-5 hardware A/B
+    # (scripts/probe_r5_ablations.py, v5e) measured dense FASTER than
+    # tri-packed at the clamped gate sizes (+2.6% on 576x512 united-atom,
+    # +2.3% on 32x1792 charged) — tri-packing saves VMEM the gate no
+    # longer spends (admission is dense-footprint-based, see below), and
+    # its unpack indexing costs a few percent.  SCEMA_TRI_PLANES=1 opts
+    # back into the packed layout; SCEMA_DENSE_PLANES=1 still forces
+    # dense (kept for bench.py's layout-retry hatch).
+    tri_packed = (os.environ.get("SCEMA_TRI_PLANES", "") == "1"
+                  and os.environ.get("SCEMA_DENSE_PLANES", "") != "1")
     npad = MFU.pad_n(n)
     nt_gate = npad // MFU.LANE
     n_param = 2 + (1 if qq_table is not None else 0)

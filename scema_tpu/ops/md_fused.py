@@ -146,11 +146,12 @@ class FusedSpec:
     # kept so hardware Mosaic issues could fall back to f32 planes.
     img_bf16: bool = True
     # triangle-packed parameter planes + min-image cache (pack_tri_plane
-    # layout).  False reverts to the round-3 dense (NPAD, NPAD) planes —
-    # the hardware-proven layout — as a Mosaic-regression escape hatch
-    # (material.py honors SCEMA_DENSE_PLANES=1; bench.py retries a
-    # failed fused phase with it so a packed-layout compile failure
-    # cannot zero a round's MD numbers).
+    # layout).  The round-5 hardware A/B measured the dense (NPAD, NPAD)
+    # f32 planes a few percent FASTER at the clamped gate sizes (packing
+    # buys VMEM the dense-footprint gate never spends, and its unpack
+    # indexing isn't free), so dense is the production default and
+    # material.py only packs under SCEMA_TRI_PLANES=1.  The spec default
+    # stays True for direct FusedSpec users of the packed layout tests.
     tri_packed: bool = True
     # Ewald real-space splitting parameter: > 0 switches the in-kernel
     # Coulomb pair force from plain cut (qq/r^2) to the damped erfc form

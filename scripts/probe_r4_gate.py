@@ -118,13 +118,15 @@ def parity():
         out, sig = strain_and_homogenize(sys_, st, dl, params)
         return np.asarray(out.pos), np.asarray(sig), sys_.fused.spec
 
-    pos_p, sig_p, sp = traj()
-    assert sp.tri_packed, "default build is not packed?"
-    os.environ["SCEMA_DENSE_PLANES"] = "1"
+    # round 5 flipped the default to dense; the packed layout is now the
+    # opt-in side of the A/B
+    os.environ["SCEMA_TRI_PLANES"] = "1"
     try:
-        pos_d, sig_d, sd = traj()
+        pos_p, sig_p, sp = traj()
     finally:
-        del os.environ["SCEMA_DENSE_PLANES"]
+        del os.environ["SCEMA_TRI_PLANES"]
+    assert sp.tri_packed, "SCEMA_TRI_PLANES=1 build is not packed?"
+    pos_d, sig_d, sd = traj()
     assert not sd.tri_packed
     ok_pos = np.allclose(pos_p, pos_d, atol=1e-4)
     ok_sig = np.allclose(sig_p, sig_d, rtol=1e-5, atol=1e3)

@@ -63,7 +63,7 @@ if __name__ == "__main__":
             val, note = run_cell(phase, env)
             if tag == "baseline":
                 base = val
-            rel = (f" ({val / base:+.1%} vs baseline)".replace("+-", "-")
+            rel = (f" ({val / base - 1.0:+.1%} vs baseline)"
                    if val and base else "")
             ratio = f"{val:.3e}" if val else "FAILED"
             print(f"[{phase}/{tag}] {ratio} {rel}  [{note}]", flush=True)

@@ -407,20 +407,21 @@ def test_sw_allpairs_fused_matches_xla():
 
 @pytest.mark.slow
 def test_dense_plane_fallback_matches_packed(monkeypatch):
-    """SCEMA_DENSE_PLANES=1 (the round-3 dense f32 plane layout — the
-    Mosaic escape hatch bench.py retries failed fused phases with) is
-    bit-identical to the default triangle-packed bf16-image layout: the
-    packed planes hold the same values at the same (t, u) blocks, and
-    the cached image integers are exact in bf16."""
+    """The opt-in triangle-packed bf16-image layout (SCEMA_TRI_PLANES=1)
+    is bit-identical to the default dense f32 plane layout (the round-5
+    hardware A/B made dense the production default): the packed planes
+    hold the same values at the same (t, u) blocks, and the cached image
+    integers are exact in bf16."""
     from scema_tpu.md import material as M
     from scema_tpu.md.homogenization import MDParams, strain_and_homogenize
 
     common = dict(name="m", force_field="opls", n_chains=32, chain_length=6,
                   opls_lj_cutoff=6.0, opls_coul_cutoff=6.0, validate=False,
                   rebuild_every=10, use_fused=True)
+    monkeypatch.setenv("SCEMA_TRI_PLANES", "1")
     sys_p, st = M.build_system(M.MaterialSpec(**common))
     assert sys_p.fused.spec.allpairs and sys_p.fused.spec.tri_packed
-    monkeypatch.setenv("SCEMA_DENSE_PLANES", "1")
+    monkeypatch.delenv("SCEMA_TRI_PLANES")
     sys_d, _ = M.build_system(M.MaterialSpec(**common))
     assert not sys_d.fused.spec.tri_packed
     assert not sys_d.fused.spec.img_bf16
