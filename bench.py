@@ -526,11 +526,6 @@ PHASES = [
 _PHASE_FNS = {name: fn for name, _, fn in PHASES}
 _PHASE_FNS["hmm_hooke_cpu"] = phase_hmm_hooke_cpu
 
-# phases that exercise the fused all-pairs kernel: eligible for one
-# retry on the dense-plane fallback layout if the packed layout fails
-FUSED_PHASES = {"hmm_opls", "md_fused", "md_bigbox", "md_allatom",
-                "hmm_allatom"}
-
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp, numpy as np;"
     "x = jnp.arange(8.0);"
