@@ -217,6 +217,7 @@ def test_allatom_kspace_every10_production_temperature():
                        atol=2e6)
 
 
+@pytest.mark.slow
 def test_allatom_kspace_list_kernel_close_to_xla():
     """The gather-LIST kernel path for charged+SHAKE+kspace systems (the
     >all-pairs-VMEM-gate regime, exercised here via force_list_kernel at
@@ -259,9 +260,14 @@ def test_allatom_kspace_list_kernel_close_to_xla():
     assert float(np.abs(rr - np.asarray(cons.d0)).max()) < 5e-3
 
 
+@pytest.mark.slow
 def test_allatom_inactive_job_noop():
     """dt = 0 padding jobs stay bit-exact no-ops with SHAKE in-kernel
-    (the projection is gated on a live dt)."""
+    (the projection is gated on a live dt) — the full homogenize-path
+    contract (run_strain + sample_stress).  The fast-profile
+    representative of the same kernel mechanism is
+    test_allatom_inactive_strain_is_noop below (run_strain only — half
+    the CPU-interpret compile; this one measured 196 s on one core)."""
     sys_f, st = M.build_system(M.MaterialSpec(**COMMON, use_fused=True))
     st = st._replace(vel=E.maxwell_velocities(sys_f, jax.random.PRNGKey(4),
                                               80.0))
@@ -272,6 +278,24 @@ def test_allatom_inactive_job_noop():
                                    active=jnp.asarray(False))
     assert np.array_equal(np.asarray(o_i.pos), np.asarray(st.pos))
     assert np.array_equal(np.asarray(o_i.vel), np.asarray(st.vel))
+
+
+def test_allatom_inactive_strain_is_noop():
+    """Fast-profile no-op representative: a zero-step run_strain request
+    on the all-atom SHAKE system leaves the microstate bit-unchanged
+    (run_strain_fused neutralizes it to ONE dt = 0 step — a zero-trip
+    dynamic fori_loop hangs Mosaic on hardware — and the SHAKE
+    projection is gated on a live dt).  The full homogenize-path no-op
+    contract lives in test_allatom_inactive_job_noop (slow)."""
+    sys_f, st = M.build_system(M.MaterialSpec(**COMMON, use_fused=True))
+    assert sys_f.fused is not None and sys_f.fused.spec.shake_offsets
+    st = st._replace(vel=E.maxwell_velocities(sys_f, jax.random.PRNGKey(4),
+                                              80.0))
+    eps = jnp.asarray([0.02, 0.0, -0.01, 0.0, 0.0, 0.0])
+    out = E.run_strain(sys_f, st, eps, jnp.asarray(0), 80.0, 1.0)
+    assert np.array_equal(np.asarray(out.pos), np.asarray(st.pos))
+    assert np.array_equal(np.asarray(out.vel), np.asarray(st.vel))
+    assert np.array_equal(np.asarray(out.h), np.asarray(st.h))
 
 
 @pytest.mark.slow
