@@ -1,0 +1,124 @@
+"""Round-5 hardware probe: IN-LOOP decomposition of the charged-path
+kspace residue (VERDICT r4 #3).
+
+probe_pme.py timed each op as one dispatch + one device->host scalar
+read, and every cell came back ~24 ms — the axon tunnel's round-trip
+floor, not compute (the v5e kernels underneath are all smaller than the
+latency).  This probe measures the same question the only way the
+tunnel allows: AMORTIZED, inside one jitted dispatch, through the
+production bench workload itself (32 jobs x 1792-atom charged all-atom
+PE, SHAKE + PME split — bench.bench_md_allatom's exact composition).
+
+Cells (each = the full 100-step strained run, min of 2 reps):
+
+  ks10          production: kspace_every=10 -> 10 chunk re-entries
+  ks20/ks50/ks100  cadence ladder -> 5 / 2 / 1 re-entries; the slope
+                of t(run) vs n_chunks is the per-re-entry cost
+                (PME eval + kernel re-entry together)
+  zerok_ks10    kspace_fn replaced by a zero-force fn, SAME chunking:
+                re-entry cost alone -> eval = ks10 - zerok_ks10
+  fftn_ks10     PME.dft_matmul forced off (jnp.fft.fftn reciprocal):
+                the matmul-DFT A/B in its production context
+
+Decomposition: per-step cost of the fused kernel itself comes from
+ks100; (ks10 - ks100)/9 is the marginal chunk cost; zerok splits it
+into [kernel re-entry | PME grad + excluded-erf gather].
+
+Run: python scripts/probe_kspace_inloop.py   (TPU via axon; warm
+persistent compile cache shared with bench.py via .jax_cache)
+"""
+import dataclasses
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+N_JOBS = int(os.environ.get("PROBE_JOBS", 32))
+N_STEPS = int(os.environ.get("PROBE_STEPS", 100))
+N_CHAINS = int(os.environ.get("PROBE_CHAINS", 56))  # 56 -> 1792 atoms
+DT = 1.0
+T = 300.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from scema_tpu.md import engine as E
+    from scema_tpu.md import material as M
+
+    cut = float(os.environ.get("PROBE_CUT", 12.0))
+    spec = M.MaterialSpec(name="peaa", force_field="opls", allatom=True,
+                          n_chains=N_CHAINS, chain_length=10, pe_density=0.68,
+                          opls_lj_cutoff=cut, opls_coul_cutoff=min(cut, 9.0),
+                          use_ewald=True, kspace_every=10, kspace="pme")
+    sys0, st0 = M.build_system(spec, dtype=jnp.float32)
+    n = sys0.n_atoms
+    print(f"atoms={n} jobs={N_JOBS} steps={N_STEPS} "
+          f"mesh={sys0.ff.ewald.mesh}", flush=True)
+
+    st0 = jax.jit(lambda s: E.minimize_fire(
+        sys0, s, n_steps=30,
+        dt0=getattr(sys0.ff, "fire_dt0", 0.5)))(st0)
+    st0 = st0._replace(vel=E.maxwell_velocities(
+        sys0, jax.random.PRNGKey(0), T, dtype=st0.pos.dtype))
+    eps = jnp.zeros((N_JOBS, 6), jnp.float32).at[:, 2].set(
+        jnp.linspace(1e-4, 5e-4, N_JOBS))
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (N_JOBS,) + x.shape), st0)
+
+    def cell(tag, sys_):
+        run = jax.jit(lambda b, e, ns: jax.vmap(
+            lambda s, ee: E.run_strain(sys_, s, ee, ns, T, DT))(b, e))
+        out = run(batch, eps * 0.0, jnp.asarray(N_STEPS))  # compile+warm
+        float(np.asarray(out.pos[0, 0, 0]))
+        best = 1e30
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run(batch, eps, jnp.asarray(N_STEPS))
+            float(np.asarray(out.pos[0, 0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        rate = N_JOBS * n * N_STEPS / best
+        print(f"[{tag}] {best * 1e3:8.1f} ms/run  {rate:.3e} atom-steps/s",
+              flush=True)
+        return best
+
+    def with_every(every):
+        return dataclasses.replace(
+            sys0, fused=dataclasses.replace(sys0.fused, kspace_every=every))
+
+    t = {}
+    t["ks10"] = cell("ks10 (production)", sys0)
+    for ev in (20, 50, 100):
+        t[f"ks{ev}"] = cell(f"ks{ev}", with_every(ev))
+    zerok = dataclasses.replace(
+        sys0, fused=dataclasses.replace(
+            sys0.fused, kspace_fn=lambda pos, h: jnp.zeros_like(pos)))
+    t["zerok"] = cell("zerok_ks10 (re-entry only)", zerok)
+    ff_fftn = dataclasses.replace(
+        sys0.ff, ewald=dataclasses.replace(sys0.ff.ewald, dft_matmul=False))
+    kfn_fftn, _ = M._build_kspace_split(ff_fftn, n, jnp.float32)
+    fftn = dataclasses.replace(
+        sys0, ff=ff_fftn,
+        fused=dataclasses.replace(sys0.fused, kspace_fn=kfn_fftn))
+    t["fftn"] = cell("fftn_ks10", fftn)
+
+    # decomposition ledger (all per 32-job batch)
+    chunk_ms = (t["ks10"] - t["ks100"]) / 9.0 * 1e3
+    reentry_ms = (t["zerok"] - t["ks100"]) / 9.0 * 1e3
+    print(f"[decompose] marginal chunk cost {chunk_ms:.2f} ms "
+          f"= re-entry {reentry_ms:.2f} + PME eval "
+          f"{chunk_ms - reentry_ms:.2f}", flush=True)
+    print(f"[decompose] fftn-vs-matmul full-run delta "
+          f"{(t['fftn'] - t['ks10']) * 1e3:+.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
