@@ -98,12 +98,16 @@ class PME:
     qqr2e: float = QQR2E_REAL
     _ewald_ref: object = None  # real-space/self/exclusion provider
     # 3-D DFT as three MXU tensor contractions with precomputed complex
-    # DFT matrices instead of jnp.fft.fftn: TPUs have no FFT hardware —
-    # XLA's generic decomposition of a K~32-64 fftn is a chain of small
-    # strided steps that neither tiles the MXU nor fuses, while the
-    # matmul form is 3 x (K^3, K) complex contractions (~0.25 GFLOP at
-    # K=40, microseconds at MXU rate) and autodiffs into the same
-    # matmuls transposed.  None = auto (on for TPU backends).
+    # DFT matrices instead of jnp.fft.fftn.  The theory said the matmul
+    # form should win on TPU (no FFT hardware; 3 x (K^3, K) complex
+    # contractions); the on-silicon A/B said otherwise: in the
+    # production charged bench composition (32 x 1792 atoms, mesh 36^3,
+    # scripts/probe_kspace_inloop.py) the fftn variant ran the full
+    # 10-re-entry trajectory 13.3 ms FASTER (253.7 vs 267.0 ms) —
+    # ~1.5 ms/eval — so XLA's fftn decomposition beats the small-K
+    # complex einsum chain in context.  None = auto (fftn everywhere);
+    # True opts back into the matmul form (machine-precision parity,
+    # tests/test_pme.py).
     dft_matmul: bool | None = None
 
     @staticmethod
@@ -188,7 +192,7 @@ class PME:
     def _fft3(self, rho):
         use_matmul = self.dft_matmul
         if use_matmul is None:
-            use_matmul = jax.default_backend() == "tpu"
+            use_matmul = False  # fftn measured faster in-loop on v5e
         if not use_matmul:
             return jnp.fft.fftn(rho)
         # three complex tensor contractions (XLA lowers each to 4 real

@@ -106,3 +106,32 @@ def test_opls_kspace_auto_selects_pme():
     e1 = float(ff_e.ewald.reciprocal_energy(pj, hj))
     e2 = float(ff_p.ewald.reciprocal_energy(pj, hj))
     assert abs(e2 - e1) / max(abs(e1), 1e-9) < 1e-3
+
+
+def test_pme_dft_matmul_parity():
+    """The opt-in matmul-DFT reciprocal (PME.dft_matmul=True) matches the
+    default fftn form to machine precision — energy AND forces.  The
+    default flipped to fftn after the on-silicon in-loop A/B
+    (scripts/probe_kspace_inloop.py: fftn ~1.5 ms/eval faster in the
+    production charged composition), so the matmul path needs its own
+    coverage."""
+    import dataclasses
+
+    import jax
+
+    rng = np.random.default_rng(11)
+    n = 48
+    h = np.eye(3) * 14.0
+    pos = rng.uniform(0, 14.0, (n, 3))
+    q = rng.normal(size=n)
+    q -= q.mean()
+
+    pme = PME.create(q, cutoff=6.0, h0=h, accuracy=1e-4)
+    pm = dataclasses.replace(pme, dft_matmul=True)
+    pf = dataclasses.replace(pme, dft_matmul=False)
+    pj, hj = jnp.asarray(pos), jnp.asarray(h)
+    e_m, g_m = jax.value_and_grad(pm.reciprocal_energy)(pj, hj)
+    e_f, g_f = jax.value_and_grad(pf.reciprocal_energy)(pj, hj)
+    assert abs(float(e_m) - float(e_f)) / abs(float(e_f)) < 1e-10
+    scale = np.abs(np.asarray(g_f)).max()
+    assert np.abs(np.asarray(g_m) - np.asarray(g_f)).max() / scale < 1e-8
