@@ -180,3 +180,50 @@ def test_multislice_mesh_md_coupled_step():
     assert n1 == n2 > 0
     scale = np.abs(sig1).max()
     assert np.abs(sig2 - sig1).max() / scale < 1e-10
+
+
+def test_node_sharded_fe_matches_replicated():
+    """P2 completion: FE nodal AND qp state sharded over the mesh via
+    GSPMD annotations (fem/sharded.py) — same physics as the replicated
+    posture to roundoff, with the persistent state actually distributed
+    (the reference replicates the triangulation per rank and lists
+    distributing it as future work, READMEs/Parallelization.md)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scema_tpu.fem.sharded import make_sharded_step, shard_fe_state
+
+    # 3x3x7 cells: 4*4*8 = 128 nodes -> 384 dofs and 63*8 = 504 qps,
+    # both divisible by the 8 devices (required for explicit shardings)
+    cfg = HMMConfig()
+    cfg = cfg.replace(
+        mesh=cfg.mesh.__class__(x_cells=3, y_cells=3, z_cells=7),
+        bridging=cfg.bridging.__class__(
+            stress_method=0, approx_md_with_hookes_law=True),
+        time=cfg.time.__class__(
+            timestep_length=5.0e-7, start_timestep=1, end_timestep=10),
+    )
+    hmm = build_hooke_hmm(cfg)
+    mesh = make_mesh(8)
+    step_s = jax.jit(make_sharded_step(hmm, mesh))
+    step_r = jax.jit(hmm.step)
+    s0 = shard_fe_state(hmm.init_state(), mesh)
+    s1 = hmm.init_state()
+    for _ in range(4):
+        s0, o0 = step_s(s0)
+        s1, o1 = step_r(s1)
+
+    sig0 = np.asarray(s0.qp.new_stress)
+    sig1 = np.asarray(s1.qp.new_stress)
+    assert np.allclose(sig0, sig1, atol=1e-9 * max(np.abs(sig1).max(), 1.0))
+    u0, u1 = np.asarray(s0.u), np.asarray(s1.u)
+    assert np.allclose(u0, u1, atol=1e-12 * max(np.abs(u1).max(), 1.0))
+    assert int(o0.n_jobs) == int(o1.n_jobs)
+
+    # the memory posture is real: nodal and qp arrays live distributed
+    want_u = NamedSharding(mesh, P("md"))
+    assert s0.u.sharding.is_equivalent_to(want_u, s0.u.ndim)
+    want_qp = NamedSharding(mesh, P("md", None))
+    assert s0.qp.new_stress.sharding.is_equivalent_to(
+        want_qp, s0.qp.new_stress.ndim)
+    # more than one distinct shard index => not replicated
+    assert len({sh.index for sh in s0.u.addressable_shards}) > 1
