@@ -148,6 +148,38 @@ def forces_energy_virial(sys: MDSystem, pos, h, nbr):
     return -gp, E, W
 
 
+def _qeq_warm_enabled(sys: MDSystem) -> bool:
+    """True when the force field supports CG warm-starting between the
+    steps of a neighbor-rebuild chunk (ReaxFFList.qeq_warm — the fix
+    qeq/reax pattern: one cold solve per chunk, few-iteration seeded
+    solves for the chunk's remaining steps)."""
+    ff = sys.ff
+    return bool(getattr(ff, "qeq_warm", False) and getattr(ff, "qeq", False)
+                and hasattr(ff, "energy_qeq"))
+
+
+def _forces_qeq(sys: MDSystem, pos, h, nbr, guess):
+    """(F, qeq_aux): forces with the QEq CG seeded by ``guess``."""
+    (_, aux), g = jax.value_and_grad(
+        lambda p: sys.ff.energy_qeq(p, h, nbr, qeq_guess=guess),
+        has_aux=True)(pos)
+    return -g, aux
+
+
+def _forces_virial_qeq(sys: MDSystem, pos, h, nbr, guess):
+    """(F, W, qeq_aux) from ONE energy evaluation (sampling loop)."""
+
+    def e(p, eps):
+        Fm = jnp.eye(3, dtype=p.dtype) + eps
+        return sys.ff.energy_qeq(p @ Fm.T, Fm @ h, nbr, qeq_guess=guess)
+
+    eps0 = jnp.zeros((3, 3), dtype=pos.dtype)
+    (_, aux), (gp, geps) = jax.value_and_grad(
+        e, argnums=(0, 1), has_aux=True)(pos, eps0)
+    W = -0.5 * (geps + geps.T)
+    return -gp, W, aux
+
+
 def pressure_tensor(sys: MDSystem, state: MDState, W) -> jax.Array:
     """Instantaneous virial pressure tensor in pressure units (Voigt-6).
 
@@ -204,13 +236,18 @@ def _nhc_half(sys: MDSystem, vel, vxi, T: float, dt: float):
 
 
 def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt,
-                 thermostat=True, forces_fn=None):
+                 thermostat=True, forces_fn=None, forces_ex_fn=None):
     """One velocity-Verlet step (optionally NVT); returns (state, F_new).
 
     With sys.constraints set, SHAKE corrects positions after the drift and
     RATTLE removes along-bond velocity components after the second kick
     (the reference's fix shake, in.strain.lammps).  ``forces_fn(pos, h)``
     overrides the force evaluation (the P4 sharded path plugs in here).
+    ``forces_ex_fn(pos, h) -> (F, extra)`` does the same but threads an
+    extra value out alongside the forces — the sampling loop shares one
+    energy evaluation between forces and virial this way, and the QEq
+    warm-start carries its CG vectors; the return becomes
+    ``(state, F_new, extra)``.
     """
     u = sys.units
     minv = (u.ftm2v / sys.masses)[:, None]
@@ -226,7 +263,10 @@ def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt,
         pos_c = CN.shake_positions(sys.constraints, state.pos, pos, state.h, inv_m)
         vel = vel + (pos_c - pos) / dt  # constraint impulse on velocities
         pos = pos_c
-    if forces_fn is None:
+    extra = None
+    if forces_ex_fn is not None:
+        F_new, extra = forces_ex_fn(pos, state.h)
+    elif forces_fn is None:
         F_new = forces(sys, pos, state.h, nbr)
     else:
         F_new = forces_fn(pos, state.h)
@@ -235,7 +275,10 @@ def _verlet_step(sys: MDSystem, state: MDState, F, nbr, T, dt,
         vel = CN.rattle_velocities(sys.constraints, pos, vel, state.h, 1.0 / sys.masses)
     if thermostat:
         vel, vxi = _nhc_half(sys, vel, vxi, T, dt)
-    return state._replace(pos=pos, vel=vel, vxi=vxi), F_new
+    out = state._replace(pos=pos, vel=vel, vxi=vxi)
+    if forces_ex_fn is not None:
+        return out, F_new, extra
+    return out, F_new
 
 
 def run_strain(
@@ -270,22 +313,41 @@ def run_strain(
     h0 = state.h
     n_steps = jnp.maximum(n_steps, sys.rebuild_every)
     n_chunks = n_steps // sys.rebuild_every
+    warm = _qeq_warm_enabled(sys)
 
     def chunk(c, st):
         nbr = sys.build_neighbors(st.pos, st.h)
-        F = forces(sys, st.pos, st.h, nbr)
+        if warm:
+            F, aux = _forces_qeq(sys, st.pos, st.h, nbr, None)  # cold solve
+        else:
+            F = forces(sys, st.pos, st.h, nbr)
 
-        def inner(i, carry):
-            st, F = carry
-            st, F = _verlet_step(sys, st, F, nbr, T, dt)
+        def deform(st, i):
             # fix deform end_of_step: move box to its target at global step+1
             gstep = c * sys.rebuild_every + i + 1
             frac = gstep.astype(st.pos.dtype) / n_steps.astype(st.pos.dtype)
             h_new = B.deform_path(h0, eps_eff, frac)
             pos = B.remap_affine(st.h, h_new, st.pos)
-            return (st._replace(pos=pos, h=h_new), F)
+            return st._replace(pos=pos, h=h_new)
 
-        st, _ = jax.lax.fori_loop(0, sys.rebuild_every, inner, (st, F))
+        if warm:
+            def inner(i, carry):
+                st, F, aux = carry
+                st, F, aux = _verlet_step(
+                    sys, st, F, nbr, T, dt,
+                    forces_ex_fn=lambda pos, h: _forces_qeq(
+                        sys, pos, h, nbr, aux))
+                return (deform(st, i), F, aux)
+
+            st, _, _ = jax.lax.fori_loop(
+                0, sys.rebuild_every, inner, (st, F, aux))
+        else:
+            def inner(i, carry):
+                st, F = carry
+                st, F = _verlet_step(sys, st, F, nbr, T, dt)
+                return (deform(st, i), F)
+
+            st, _ = jax.lax.fori_loop(0, sys.rebuild_every, inner, (st, F))
         return st
 
     return jax.lax.fori_loop(0, n_chunks, chunk, state)
@@ -516,22 +578,45 @@ def sample_stress(
 
         return MFU.sample_stress_fused(sys.fused, state, n_steps, T, dt)
     n_chunks = max(1, n_steps // sys.rebuild_every)
+    warm = _qeq_warm_enabled(sys)
 
     def chunk(st, _):
         nbr = sys.build_neighbors(st.pos, st.h)
-        F, E, W = forces_energy_virial(sys, st.pos, st.h, nbr)
+        acc0 = jnp.zeros((6,), dtype=st.pos.dtype)
+        if warm:
+            F, _, aux = _forces_virial_qeq(sys, st.pos, st.h, nbr, None)
 
-        def inner(i, carry):
-            st, F, acc = carry
-            st, F = _verlet_step(sys, st, F, nbr, T, dt)
-            _, _, W = forces_energy_virial(sys, st.pos, st.h, nbr)
-            acc = acc + pressure_tensor(sys, st, W)
-            return (st, F, acc)
+            def inner(i, carry):
+                st, F, aux, acc = carry
 
-        st, _, acc = jax.lax.fori_loop(
-            0, sys.rebuild_every, inner,
-            (st, F, jnp.zeros((6,), dtype=st.pos.dtype)),
-        )
+                def fex(pos, h, aux=aux):
+                    Fx, Wx, ax = _forces_virial_qeq(sys, pos, h, nbr, aux)
+                    return Fx, (Wx, ax)
+
+                st, F, (W, aux) = _verlet_step(
+                    sys, st, F, nbr, T, dt, forces_ex_fn=fex)
+                return (st, F, aux, acc + pressure_tensor(sys, st, W))
+
+            st, _, _, acc = jax.lax.fori_loop(
+                0, sys.rebuild_every, inner, (st, F, aux, acc0))
+        else:
+            F = forces(sys, st.pos, st.h, nbr)
+
+            def fex(pos, h):
+                # one energy evaluation serves forces AND virial (the
+                # historical form re-ran forces_energy_virial after the
+                # step at the same positions — a 2x energy cost)
+                Fx, _, Wx = forces_energy_virial(sys, pos, h, nbr)
+                return Fx, Wx
+
+            def inner(i, carry):
+                st, F, acc = carry
+                st, F, W = _verlet_step(
+                    sys, st, F, nbr, T, dt, forces_ex_fn=fex)
+                return (st, F, acc + pressure_tensor(sys, st, W))
+
+            st, _, acc = jax.lax.fori_loop(
+                0, sys.rebuild_every, inner, (st, F, acc0))
         return st, acc
 
     state, accs = jax.lax.scan(chunk, state, None, length=n_chunks)

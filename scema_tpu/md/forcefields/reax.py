@@ -543,6 +543,14 @@ class ReaxFFList:
     qeq: bool = True
     with_hbond: bool = False
     qeq_iters: int = 48  # static CG trip count (f32 floors ~1e-6 rel)
+    # fix qeq/reax warm-starts its CG from the previous step's charges
+    # and converges in a handful of iterations; the engine's chunk loops
+    # do the same when qeq_warm is on (engine.run_strain/sample_stress):
+    # one cold qeq_iters solve per neighbor-rebuild chunk, then
+    # qeq_iters_warm-iteration solves seeded by the previous step's CG
+    # vectors for the chunk's remaining steps.
+    qeq_warm: bool = True
+    qeq_iters_warm: int = 12
 
     fire_dt0 = 0.05  # see ReaxFFDense.fire_dt0
 
@@ -665,7 +673,17 @@ class ReaxFFList:
     def energy(self, pos, h, nbr=None):
         return self.energy_terms(pos, h, nbr)["total"]
 
-    def energy_terms(self, pos, h, nbr=None):
+    def energy_qeq(self, pos, h, nbr=None, qeq_guess=None):
+        """(total energy, qeq_aux) — the warm-start entry point.
+
+        ``qeq_guess`` is the (s, tv) CG-vector pair returned by a
+        previous call (as ``qeq_aux``); passing it seeds both CG solves
+        and drops the trip count to ``qeq_iters_warm``.  The engine's
+        chunk loops thread it step-to-step (fix qeq/reax semantics)."""
+        terms = self.energy_terms(pos, h, nbr, qeq_guess=qeq_guess)
+        return terms["total"], terms["qeq_aux"]
+
+    def energy_terms(self, pos, h, nbr=None, qeq_guess=None):
         if nbr is None or (hasattr(nbr, "ndim") and nbr.ndim == 0):
             # direct call (tests/anchors) or the engine's scalar
             # placeholder: fall back to the all-pairs slot field
@@ -910,9 +928,10 @@ class ReaxFFList:
         r3g = _spow(r * r * r + gam3, 1.0 / 3.0)
         shield = jnp.where(within, tap / r3g, 0.0)
         if self.qeq:
-            q = self._solve_qeq(shield, idx)
+            q, qeq_aux = self._solve_qeq(shield, idx, guess=qeq_guess)
         else:
             q = jnp.zeros((n,), dtype)
+            qeq_aux = (q, q)
         e_coul = 0.5 * C_ELE * jnp.sum(shield * q[:, None] * q[idx])
         e_pol = EV2KCAL * jnp.sum(
             T["chi"][t] * q + T["eta"][t] * q * q)
@@ -923,29 +942,37 @@ class ReaxFFList:
             total=total, e_bond=e_bond, e_lp=e_lp, e_ov=e_ov, e_un=e_un,
             e_ang=e_ang, e_pen=e_pen, e_coa=e_coa, e_tor=e_tor,
             e_con=e_con, e_hb=e_hb, e_vdw=e_vdw, e_coul=e_coul,
-            e_pol=e_pol, q=q,
+            e_pol=e_pol, q=q, qeq_aux=qeq_aux,
         )
 
-    def _solve_qeq(self, shield, idx):
+    def _solve_qeq(self, shield, idx, guess=None):
         """Neutrality-constrained EEM charges by Jacobi-preconditioned CG
         with the list matvec A v = 2 eta v + 14.4 sum_k shield[i,k]
         v[idx[i,k]] — the fix qeq/reax CG (tol 1e-6) shape, replacing the
         dense Cholesky.  Static trip count (axon: dynamic while_loops
         nested in outer control flow hang); 48 Jacobi-CG steps floor the
-        f32 residual on the bench compositions.  Charges are detached
-        (Hellmann-Feynman, see ReaxFFDense._solve_qeq)."""
+        f32 residual on the bench compositions from a cold (Jacobi)
+        start.  ``guess`` = the (s, tv) pair of a previous solve:
+        warm-started solves run ``qeq_iters_warm`` trips instead (the
+        fix qeq/reax pattern — its CG starts from extrapolated previous
+        charges and converges in a handful of iterations).  Charges are
+        detached (Hellmann-Feynman, see ReaxFFDense._solve_qeq); the
+        returned aux vectors are detached too.
+
+        Returns ``(q, (s, tv))``."""
         T = self.tables
         t = self.types
         n = shield.shape[0]
         KC_EV = C_ELE / EV2KCAL
         diag = 2.0 * T["eta"][t]
         minv = 1.0 / diag
+        iters = self.qeq_iters if guess is None else self.qeq_iters_warm
 
         def matvec(v):
             return diag * v + KC_EV * jnp.sum(shield * v[idx], axis=1)
 
-        def cg(b):
-            x = minv * b
+        def cg(b, x0):
+            x = x0
             res = b - matvec(x)
             z = minv * res
             p = z
@@ -962,13 +989,20 @@ class ReaxFFList:
                 beta = rz_new / jnp.maximum(rz, 1e-30)
                 return x, res, z + beta * p, rz_new
 
-            return jax.lax.fori_loop(
-                0, self.qeq_iters, body, (x, res, p, rz))[0]
+            return jax.lax.fori_loop(0, iters, body, (x, res, p, rz))[0]
 
-        s = cg(-T["chi"][t])
-        tv = cg(jnp.ones((n,), shield.dtype))
+        b_s = -T["chi"][t]
+        b_tv = jnp.ones((n,), shield.dtype)
+        if guess is None:
+            x0_s, x0_tv = minv * b_s, minv * b_tv
+        else:
+            x0_s = jax.lax.stop_gradient(guess[0])
+            x0_tv = jax.lax.stop_gradient(guess[1])
+        s = cg(b_s, x0_s)
+        tv = cg(b_tv, x0_tv)
         q = s - (jnp.sum(s) / jnp.sum(tv)) * tv
-        return jax.lax.stop_gradient(q)
+        return jax.lax.stop_gradient(q), (
+            jax.lax.stop_gradient(s), jax.lax.stop_gradient(tv))
 
 
 def build_reax(ffield_path: str, elements, masses, dtype=jnp.float64,

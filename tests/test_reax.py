@@ -547,3 +547,71 @@ class TestListField:
         e = float(sys_.ff.energy(st.pos, st.h, nbr))
         f = -jax.grad(lambda p: sys_.ff.energy(p, st.h, nbr))(st.pos)
         assert np.isfinite(e) and bool(jnp.isfinite(f).all())
+
+
+class TestQEqWarmStart:
+    """fix qeq/reax warm-starts its CG from the previous step's charges;
+    the rebuild's chunk loops do the same (engine.run_strain /
+    sample_stress with ReaxFFList.qeq_warm): one cold qeq_iters solve
+    per neighbor-rebuild chunk, qeq_iters_warm-iteration seeded solves
+    for the chunk's other steps."""
+
+    def _melt(self, warm: bool):
+        import dataclasses
+
+        spec = M.MaterialSpec(name="rxw", force_field="reax", n_chains=8,
+                              chain_length=2, pe_density=0.25,
+                              validate=False, reax_ffield=FFIELD)
+        sys_, st = M.build_system(spec, dtype=jnp.float64)
+        sys_ = dataclasses.replace(
+            sys_, ff=dataclasses.replace(sys_.ff, qeq_warm=warm))
+        st = E.minimize_fire(sys_, st, n_steps=40, dt0=0.05)
+        st = st._replace(vel=E.maxwell_velocities(
+            sys_, jax.random.PRNGKey(3), 50.0))
+        return sys_, st
+
+    def test_warm_solve_from_converged_matches_cold(self):
+        sys_, st = self._melt(True)
+        ff = sys_.ff
+        # cold full solve -> aux; warm re-solve at the SAME positions
+        # seeded by aux must reproduce the charges nearly exactly
+        terms = ff.energy_terms(st.pos, st.h)
+        q_cold = np.asarray(terms["q"])
+        terms_w = ff.energy_terms(st.pos, st.h, qeq_guess=terms["qeq_aux"])
+        q_warm = np.asarray(terms_w["q"])
+        scale = np.abs(q_cold).max()
+        assert np.abs(q_warm - q_cold).max() < 1e-9 * max(scale, 1e-3)
+
+    def test_run_strain_warm_matches_cold(self):
+        sys_w, st = self._melt(True)
+        import dataclasses
+
+        sys_c = dataclasses.replace(
+            sys_w, ff=dataclasses.replace(sys_w.ff, qeq_warm=False))
+        eps = jnp.asarray([1e-3, 0.0, -5e-4, 0.0, 0.0, 0.0], jnp.float64)
+        n = jnp.asarray(20)
+        out_w = jax.jit(lambda s: E.run_strain(sys_w, s, eps, n, 50.0,
+                                               0.25))(st)
+        out_c = jax.jit(lambda s: E.run_strain(sys_c, s, eps, n, 50.0,
+                                               0.25))(st)
+        dw = np.abs(np.asarray(out_w.pos) - np.asarray(out_c.pos)).max()
+        # 20 steps x 0.25 fs at 50 K move atoms ~0.1 A; warm-vs-cold
+        # charge differences are ~1e-7 e, so trajectories agree tightly
+        assert dw < 1e-6, dw
+        assert bool(jnp.isfinite(out_w.pos).all())
+
+    def test_sample_stress_warm_matches_cold(self):
+        sys_w, st = self._melt(True)
+        import dataclasses
+
+        sys_c = dataclasses.replace(
+            sys_w, ff=dataclasses.replace(sys_w.ff, qeq_warm=False))
+        st_w, p_w = jax.jit(lambda s: E.sample_stress(sys_w, s, 10, 50.0,
+                                                      0.25))(st)
+        st_c, p_c = jax.jit(lambda s: E.sample_stress(sys_c, s, 10, 50.0,
+                                                      0.25))(st)
+        # warm-12 charges differ from cold-48 by ~1e-7 e; over a 10-step
+        # sampled trajectory that propagates to ~1e-5 relative pressure —
+        # the same class as fix qeq/reax's own 1e-6 tolerance wander
+        assert np.allclose(np.asarray(p_w), np.asarray(p_c),
+                           atol=np.abs(np.asarray(p_c)).max() * 1e-4)
