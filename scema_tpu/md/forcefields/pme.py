@@ -109,6 +109,12 @@ class PME:
     # True opts back into the matmul form (machine-precision parity,
     # tests/test_pme.py).
     dft_matmul: bool | None = None
+    # rho is real, so the K3 axis of its spectrum is conjugate-
+    # symmetric: rfftn computes only K3//2+1 columns and the energy sum
+    # doubles the interior ones — the same value (to roundoff) at ~half
+    # the DFT work.  None = off (pending an on-silicon in-context A/B);
+    # ignored when dft_matmul is True.
+    half_spectrum: bool | None = None
 
     @staticmethod
     def create(charges, cutoff: float, h0, accuracy: float = 1.0e-4,
@@ -214,21 +220,41 @@ class PME:
         """(2 pi / V) sum_{k != 0} e^{-k^2/4a^2}/k^2 B(m) |F(rho)(m)|^2."""
         K = self.mesh
         rho = self._spread(pos, h)
-        F = self._fft3(rho)
+        use_matmul = self.dft_matmul
+        if use_matmul is None:
+            use_matmul = False
+        half = bool(self.half_spectrum) and not use_matmul
+        if half:
+            F = jnp.fft.rfftn(rho)  # (K1, K2, K3//2 + 1)
+            L3 = K[2] // 2 + 1
+            mz = jnp.arange(L3, dtype=pos.dtype)
+        else:
+            F = self._fft3(rho)
+            L3 = K[2]
+            mz = jnp.fft.fftfreq(K[2], d=1.0 / K[2]).astype(pos.dtype)
         s2 = jnp.real(F) ** 2 + jnp.imag(F) ** 2
 
         def freqs(Ki):
-            m = jnp.fft.fftfreq(Ki, d=1.0 / Ki).astype(pos.dtype)
-            return m
+            return jnp.fft.fftfreq(Ki, d=1.0 / Ki).astype(pos.dtype)
 
-        mx, my, mz = freqs(K[0]), freqs(K[1]), freqs(K[2])
+        mx, my = freqs(K[0]), freqs(K[1])
         m3 = jnp.stack(jnp.meshgrid(mx, my, mz, indexing="ij"), axis=-1)
-        k_cart = 2.0 * jnp.pi * (m3 @ B.inv_h(h))  # (K1, K2, K3, 3)
+        k_cart = 2.0 * jnp.pi * (m3 @ B.inv_h(h))  # (K1, K2, L3, 3)
         k2 = jnp.sum(k_cart * k_cart, axis=-1)
         Bm = (self.b2x[:, None, None] * self.b2y[None, :, None]
-              * self.b2z[None, None, :])
+              * self.b2z[None, None, :L3])
         pref = jnp.where(
             k2 > 0, jnp.exp(-k2 / (4.0 * self.alpha**2)) / jnp.where(
                 k2 > 0, k2, 1.0), 0.0)
+        if half:
+            # conjugate-pair doubling: interior half-spectrum columns
+            # represent two full-spectrum modes; m=0 (and m=K/2 for
+            # even K) are self-conjugate
+            idx = jnp.arange(L3)
+            if K[2] % 2 == 0:
+                single = (idx == 0) | (idx == K[2] // 2)
+            else:
+                single = idx == 0
+            pref = pref * jnp.where(single, 1.0, 2.0).astype(pos.dtype)
         V = B.volume(h)
         return self.qqr2e * (2.0 * jnp.pi / V) * jnp.sum(pref * Bm * s2)

@@ -94,30 +94,47 @@ def main():
         return dataclasses.replace(
             sys0, fused=dataclasses.replace(sys0.fused, kspace_every=every))
 
+    def with_ewald(**kw):
+        ff2 = dataclasses.replace(
+            sys0.ff, ewald=dataclasses.replace(sys0.ff.ewald, **kw))
+        kfn2, _ = M._build_kspace_split(ff2, n, jnp.float32)
+        return dataclasses.replace(
+            sys0, ff=ff2,
+            fused=dataclasses.replace(sys0.fused, kspace_fn=kfn2))
+
+    only = set(
+        c for c in os.environ.get("PROBE_CELLS", "").split(",") if c)
+
+    def want(name):
+        return not only or name in only
+
     t = {}
-    t["ks10"] = cell("ks10 (production)", sys0)
+    if want("ks10"):
+        t["ks10"] = cell("ks10 (production)", sys0)
     for ev in (20, 50, 100):
-        t[f"ks{ev}"] = cell(f"ks{ev}", with_every(ev))
-    zerok = dataclasses.replace(
-        sys0, fused=dataclasses.replace(
-            sys0.fused, kspace_fn=lambda pos, h: jnp.zeros_like(pos)))
-    t["zerok"] = cell("zerok_ks10 (re-entry only)", zerok)
-    ff_fftn = dataclasses.replace(
-        sys0.ff, ewald=dataclasses.replace(sys0.ff.ewald, dft_matmul=False))
-    kfn_fftn, _ = M._build_kspace_split(ff_fftn, n, jnp.float32)
-    fftn = dataclasses.replace(
-        sys0, ff=ff_fftn,
-        fused=dataclasses.replace(sys0.fused, kspace_fn=kfn_fftn))
-    t["fftn"] = cell("fftn_ks10", fftn)
+        if want(f"ks{ev}"):
+            t[f"ks{ev}"] = cell(f"ks{ev}", with_every(ev))
+    if want("zerok"):
+        zerok = dataclasses.replace(
+            sys0, fused=dataclasses.replace(
+                sys0.fused, kspace_fn=lambda pos, h: jnp.zeros_like(pos)))
+        t["zerok"] = cell("zerok_ks10 (re-entry only)", zerok)
+    if want("matmul"):
+        t["matmul"] = cell("matmul_ks10", with_ewald(dft_matmul=True))
+    if want("half"):
+        t["half"] = cell("rfftn_half_ks10", with_ewald(half_spectrum=True))
 
     # decomposition ledger (all per 32-job batch)
-    chunk_ms = (t["ks10"] - t["ks100"]) / 9.0 * 1e3
-    reentry_ms = (t["zerok"] - t["ks100"]) / 9.0 * 1e3
-    print(f"[decompose] marginal chunk cost {chunk_ms:.2f} ms "
-          f"= re-entry {reentry_ms:.2f} + PME eval "
-          f"{chunk_ms - reentry_ms:.2f}", flush=True)
-    print(f"[decompose] fftn-vs-matmul full-run delta "
-          f"{(t['fftn'] - t['ks10']) * 1e3:+.1f} ms", flush=True)
+    if {"ks10", "ks100", "zerok"} <= set(t):
+        chunk_ms = (t["ks10"] - t["ks100"]) / 9.0 * 1e3
+        reentry_ms = (t["zerok"] - t["ks100"]) / 9.0 * 1e3
+        print(f"[decompose] marginal chunk cost {chunk_ms:.2f} ms "
+              f"= re-entry {reentry_ms:.2f} + PME eval "
+              f"{chunk_ms - reentry_ms:.2f}", flush=True)
+    for nm in ("matmul", "half"):
+        if nm in t and "ks10" in t:
+            print(f"[decompose] {nm}-vs-production full-run delta "
+                  f"{(t[nm] - t['ks10']) * 1e3:+.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

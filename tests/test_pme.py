@@ -135,3 +135,30 @@ def test_pme_dft_matmul_parity():
     assert abs(float(e_m) - float(e_f)) / abs(float(e_f)) < 1e-10
     scale = np.abs(np.asarray(g_f)).max()
     assert np.abs(np.asarray(g_m) - np.asarray(g_f)).max() / scale < 1e-8
+
+
+def test_pme_half_spectrum_parity():
+    """The opt-in rfftn half-spectrum reciprocal (PME.half_spectrum=True)
+    matches the full-spectrum fftn form to roundoff — energy and forces,
+    even and odd K3 meshes (conjugate-pair doubling)."""
+    import dataclasses
+
+    import jax
+
+    rng = np.random.default_rng(12)
+    n = 48
+    h = np.eye(3) * 14.0
+    pos = rng.uniform(0, 14.0, (n, 3))
+    q = rng.normal(size=n)
+    q -= q.mean()
+
+    for mesh in ((16, 16, 16), (16, 16, 15)):
+        pme = PME.create(q, cutoff=6.0, h0=h, accuracy=1e-4, mesh=mesh)
+        ph = dataclasses.replace(pme, half_spectrum=True)
+        pf = dataclasses.replace(pme, half_spectrum=False)
+        pj, hj = jnp.asarray(pos), jnp.asarray(h)
+        e_h, g_h = jax.value_and_grad(ph.reciprocal_energy)(pj, hj)
+        e_f, g_f = jax.value_and_grad(pf.reciprocal_energy)(pj, hj)
+        assert abs(float(e_h) - float(e_f)) / abs(float(e_f)) < 1e-10, mesh
+        scale = np.abs(np.asarray(g_f)).max()
+        assert np.abs(np.asarray(g_h) - np.asarray(g_f)).max() / scale < 1e-8
