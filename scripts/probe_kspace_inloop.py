@@ -124,6 +124,42 @@ def main():
     if want("half"):
         t["half"] = cell("rfftn_half_ks10", with_ewald(half_spectrum=True))
 
+    # in-context isolates: same run_strain composition, kspace_fn
+    # replaced by a partial evaluation — (cell - zerok) is that part's
+    # cost per re-entry ladder, so eval = spread + DFT&prefactor + corr
+    # decomposes on hardware without standalone probe programs (which
+    # wedge the relay)
+    pmeobj = sys0.ff.ewald
+    if want("spread"):
+        Gm = jnp.asarray(
+            np.random.RandomState(0).standard_normal(pmeobj.mesh),
+            jnp.float32)
+
+        def kfn_spread(pos, h):
+            return -jax.grad(
+                lambda p: jnp.sum(pmeobj._spread(p, h) * Gm))(pos)
+
+        sp = dataclasses.replace(
+            sys0, fused=dataclasses.replace(sys0.fused,
+                                            kspace_fn=kfn_spread))
+        t["spread"] = cell("spread_ks10 (spread+interp only)", sp)
+    if want("corr"):
+        # rebuild the split with the reciprocal zeroed: only the sparse
+        # excluded-pair erf term remains
+        class _ZeroRecip:
+            def __getattr__(self, k):
+                return getattr(pmeobj, k)
+
+            def reciprocal_energy(self, pos, h):
+                return jnp.zeros((), pos.dtype)
+
+        ffc = dataclasses.replace(sys0.ff, ewald=_ZeroRecip())
+        kfn_corr, _ = M._build_kspace_split(ffc, n, jnp.float32)
+        co = dataclasses.replace(
+            sys0, fused=dataclasses.replace(sys0.fused,
+                                            kspace_fn=kfn_corr))
+        t["corr"] = cell("corr_ks10 (excluded erf only)", co)
+
     # decomposition ledger (all per 32-job batch)
     if {"ks10", "ks100", "zerok"} <= set(t):
         chunk_ms = (t["ks10"] - t["ks100"]) / 9.0 * 1e3
