@@ -143,6 +143,54 @@ def main():
             sys0, fused=dataclasses.replace(sys0.fused,
                                             kspace_fn=kfn_spread))
         t["spread"] = cell("spread_ks10 (spread+interp only)", sp)
+    if want("fat2"):
+        # 2-matmul DFT: Dx @ rho_flat @ kron(Dy, Dz)^T — one fat
+        # (K2K3, K2K3) complex matrix instead of three thin (K, K)
+        # contractions; MXU-shaped M/N/K (sanity: 3.3e-7 rel on CPU)
+        K = pmeobj.mesh
+
+        def dmat(Ki):
+            m = np.arange(Ki)
+            return np.exp(-2j * np.pi * np.outer(m, m) / Ki)
+
+        Dx = jnp.asarray(dmat(K[0]), jnp.complex64)
+        Dyz = jnp.asarray(np.kron(dmat(K[1]), dmat(K[2])), jnp.complex64)
+
+        class _Fat2Recip:
+            def __getattr__(self, k):
+                return getattr(pmeobj, k)
+
+            def reciprocal_energy(self, pos, h):
+                from scema_tpu.md import box as Bx
+
+                rho = pmeobj._spread(pos, h).reshape(K[0], K[1] * K[2])
+                F = ((Dx @ rho.astype(jnp.complex64)) @ Dyz.T).reshape(K)
+                s2 = jnp.real(F) ** 2 + jnp.imag(F) ** 2
+
+                def freqs(Ki):
+                    return jnp.fft.fftfreq(Ki, d=1.0 / Ki).astype(pos.dtype)
+
+                m3 = jnp.stack(jnp.meshgrid(freqs(K[0]), freqs(K[1]),
+                                            freqs(K[2]), indexing="ij"),
+                               axis=-1)
+                k_cart = 2.0 * jnp.pi * (m3 @ Bx.inv_h(h))
+                k2 = jnp.sum(k_cart * k_cart, axis=-1)
+                Bm = (pmeobj.b2x[:, None, None] * pmeobj.b2y[None, :, None]
+                      * pmeobj.b2z[None, None, :])
+                pref = jnp.where(
+                    k2 > 0,
+                    jnp.exp(-k2 / (4.0 * pmeobj.alpha**2))
+                    / jnp.where(k2 > 0, k2, 1.0), 0.0)
+                V = Bx.volume(h)
+                return (pmeobj.qqr2e * (2.0 * jnp.pi / V)
+                        * jnp.sum(pref * Bm * s2))
+
+        fff = dataclasses.replace(sys0.ff, ewald=_Fat2Recip())
+        kfn_f2, _ = M._build_kspace_split(fff, n, jnp.float32)
+        f2 = dataclasses.replace(
+            sys0, fused=dataclasses.replace(sys0.fused, kspace_fn=kfn_f2))
+        t["fat2"] = cell("fat2_ks10", f2)
+
     if want("corr"):
         # rebuild the split with the reciprocal zeroed: only the sparse
         # excluded-pair erf term remains
@@ -167,7 +215,7 @@ def main():
         print(f"[decompose] marginal chunk cost {chunk_ms:.2f} ms "
               f"= re-entry {reentry_ms:.2f} + PME eval "
               f"{chunk_ms - reentry_ms:.2f}", flush=True)
-    for nm in ("matmul", "half"):
+    for nm in ("matmul", "half", "fat2", "spread", "corr"):
         if nm in t and "ks10" in t:
             print(f"[decompose] {nm}-vs-production full-run delta "
                   f"{(t[nm] - t['ks10']) * 1e3:+.1f} ms", flush=True)
