@@ -931,7 +931,7 @@ class ReaxFFList:
             q, qeq_aux = self._solve_qeq(shield, idx, guess=qeq_guess)
         else:
             q = jnp.zeros((n,), dtype)
-            qeq_aux = (q, q)
+            qeq_aux = jnp.stack([q, q])
         e_coul = 0.5 * C_ELE * jnp.sum(shield * q[:, None] * q[idx])
         e_pol = EV2KCAL * jnp.sum(
             T["chi"][t] * q + T["eta"][t] * q * q)
@@ -1001,8 +1001,10 @@ class ReaxFFList:
         s = cg(b_s, x0_s)
         tv = cg(b_tv, x0_tv)
         q = s - (jnp.sum(s) / jnp.sum(tv)) * tv
-        return jax.lax.stop_gradient(q), (
-            jax.lax.stop_gradient(s), jax.lax.stop_gradient(tv))
+        # aux is a (2, N) array (not a tuple) so energy_terms stays a
+        # dict of arrays; guess[0]/guess[1] index it the same way
+        return jax.lax.stop_gradient(q), jax.lax.stop_gradient(
+            jnp.stack([s, tv]))
 
 
 def build_reax(ffield_path: str, elements, masses, dtype=jnp.float64,
